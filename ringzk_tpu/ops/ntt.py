@@ -1,0 +1,310 @@
+"""Negacyclic NTT polynomial multiplication over Z_q[x]/(x^N + 1) via CRT.
+
+This replaces the reference's O(N^2) schoolbook negacyclic multiply (the hot
+loop inside `Mat::dot`, /root/reference/src/mat.rs:95-115, delegating to
+`poly_ring_xnp1::Polynomial` operator impls) with an O(N log N) pipeline that
+is exact for the reference modulus q = 3515337053.
+
+Why CRT: q - 1 = 2^2 * m with odd m (q == 5 mod 8), so Z_q has no 2N-th root
+of unity for N >= 4 and no psi-twisted NTT exists in the native modulus.
+Instead we compute the exact *integer* negacyclic convolution by CRT over
+three NTT-friendly 30-bit primes (product M ~ 2^89 far exceeds the coefficient
+bound N * (q/2)^2 * k), then reduce the reconstructed integer mod q.
+
+Everything is uint32 Montgomery arithmetic (see ops.montgomery) -- no 64-bit
+integers, no divisions -- so it runs at full rate on the TPU's VPU and is
+jit/vmap/shard_map friendly. The per-prime axis P=3 is the leading axis of
+every NTT-domain array and is itself shardable across devices (a tensor-
+parallel axis; see ringzk_tpu.parallel).
+
+Shapes: a polynomial batch is ``[..., N]`` int32 (centered residues); its
+NTT-domain image is ``[P, ..., N]`` uint32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .montgomery import MontCtx
+
+# Three classic NTT primes: p = c * 2^s + 1 with large 2-adicity s >= 23,
+# supporting psi-twisted negacyclic NTTs for any power-of-two N <= 2^22.
+PRIMES = (998244353, 754974721, 167772161)   # 119*2^23+1, 45*2^24+1, 5*2^25+1
+GENERATORS = (3, 11, 3)
+NUM_PRIMES = len(PRIMES)
+M_PROD = PRIMES[0] * PRIMES[1] * PRIMES[2]
+
+
+def _bit_reverse(i: int, bits: int) -> int:
+    r = 0
+    for _ in range(bits):
+        r = (r << 1) | (i & 1)
+        i >>= 1
+    return r
+
+
+@functools.lru_cache(maxsize=None)
+def _prime_tables(p: int, g: int, n: int):
+    """Twiddle tables for modulus p, ring degree n (returns numpy uint32).
+
+    psi_rev[i]     = mont(psi^{bitrev(i)}),   psi a primitive 2n-th root
+    psi_inv_rev[i] = mont(psi^{-bitrev(i)})
+    n_inv_scale    = N^{-1} * R^2 mod p  (folds the stray R^{-1} from the
+                     Montgomery pointwise product into the final scaling)
+    """
+    ctx = MontCtx.make(p)
+    logn = n.bit_length() - 1
+    assert 1 << logn == n, "N must be a power of two"
+    assert (p - 1) % (2 * n) == 0, f"prime {p} lacks 2N-th roots for N={n}"
+    psi = pow(g, (p - 1) // (2 * n), p)
+    psi_inv = pow(psi, -1, p)
+    psi_rev = np.empty(n, dtype=np.uint32)
+    psi_inv_rev = np.empty(n, dtype=np.uint32)
+    for i in range(n):
+        br = _bit_reverse(i, logn)
+        psi_rev[i] = ctx.h_to_mont(pow(psi, br, p))
+        psi_inv_rev[i] = ctx.h_to_mont(pow(psi_inv, br, p))
+    n_inv_scale = (pow(n, -1, p) * pow(2, 64, p)) % p
+    return psi_rev, psi_inv_rev, n_inv_scale
+
+
+def _fwd_one(ctx: MontCtx, psi_rev, x):
+    """Forward negacyclic NTT (Cooley-Tukey, natural in / bit-reversed out).
+
+    x: uint32 [..., N] in [0, p). Vectorized Longa-Naehrig iteration: at the
+    stage with m groups each group spans 2t = N/m contiguous coefficients.
+    """
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    m = 1
+    while m < n:
+        t = n // (2 * m)
+        xv = x.reshape(lead + (m, 2, t))
+        u = xv[..., 0, :]
+        w = psi_rev[m : 2 * m].reshape((m, 1))
+        v = ctx.mont_mul(xv[..., 1, :], w)
+        x = jnp.concatenate(
+            [ctx.add(u, v)[..., None, :], ctx.sub(u, v)[..., None, :]], axis=-2
+        ).reshape(lead + (n,))
+        m *= 2
+    return x
+
+
+def _inv_one(ctx: MontCtx, psi_inv_rev, n_inv_scale, x):
+    """Inverse negacyclic NTT (Gentleman-Sande, bit-reversed in / natural out).
+
+    Includes the N^{-1} * R^2 scaling, which also cancels the extra R^{-1}
+    picked up by the Montgomery pointwise multiply.
+    """
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    t = 1
+    m = n
+    while m > 1:
+        h = m // 2
+        xv = x.reshape(lead + (h, 2, t))
+        u = xv[..., 0, :]
+        v = xv[..., 1, :]
+        w = psi_inv_rev[h : 2 * h].reshape((h, 1))
+        x = jnp.concatenate(
+            [ctx.add(u, v)[..., None, :], ctx.mont_mul(ctx.sub(u, v), w)[..., None, :]],
+            axis=-2,
+        ).reshape(lead + (n,))
+        t *= 2
+        m = h
+    return ctx.mont_mul(x, jnp.uint32(n_inv_scale))
+
+
+@dataclasses.dataclass(frozen=True)
+class RingContext:
+    """All static state for exact arithmetic in Z_q[x]/(x^N + 1).
+
+    q is the ring modulus (the reference's ZqI64 const, 3515337053 for the
+    default parameter set -- /root/reference/src/params.rs:121-127); residues
+    are presented externally as *centered* int32 in [-(q-1)/2, (q-1)/2].
+    """
+
+    n: int
+    q: int
+
+    def __post_init__(self):
+        if self.n & (self.n - 1) or self.n < 2:
+            raise ValueError(f"N must be a power of two >= 2, got {self.n}")
+        if self.q % 2 == 0 or self.q >= 2**32:
+            raise ValueError("q must be odd and < 2^32")
+        # Exactness bound: worst-case |integer conv coeff| <= N*(q/2)^2 per
+        # product term; callers may accumulate up to ACC_MAX terms.
+        if self.n * (self.q // 2 + 1) ** 2 * 16 * 2 > M_PROD:
+            raise ValueError("CRT bound exceeded; add primes or shrink N*q^2")
+
+    # Max NTT-domain accumulation terms guaranteed exact (k-dim matvecs etc.)
+    ACC_MAX = 16
+
+    @functools.cached_property
+    def mont(self):
+        return tuple(MontCtx.make(p) for p in PRIMES)
+
+    @functools.cached_property
+    def qctx(self):
+        return MontCtx.make(self.q)
+
+    @functools.cached_property
+    def _tables(self):
+        return tuple(
+            _prime_tables(p, g, self.n) for p, g in zip(PRIMES, GENERATORS)
+        )
+
+    @functools.cached_property
+    def _garner(self):
+        """Constants for Garner mixed-radix CRT + final mod-q fold."""
+        p0, p1, p2 = PRIMES
+        c01 = pow(p0, -1, p1)            # p0^{-1} mod p1
+        c012 = pow(p0 * p1, -1, p2)      # (p0*p1)^{-1} mod p2
+        half = (p0 * p1 * p2) // 2       # floor(M/2)
+        h0 = half % p0
+        h1 = (half // p0) % p1
+        h2 = half // (p0 * p1)
+        q = self.q
+        return dict(
+            c01_mont=MontCtx.make(p1).h_to_mont(c01),
+            c012_mont=MontCtx.make(p2).h_to_mont(c012),
+            k1_mont=self.qctx.h_to_mont(p0 % q),          # p0 mod q
+            k2_mont=self.qctx.h_to_mont((p0 * p1) % q),   # p0*p1 mod q
+            m_mod_q=(p0 * p1 * p2) % q,
+            half_digits=(h0, h1, h2),
+        )
+
+    # ------------------------------------------------------------------
+    # Forward / inverse transforms
+    # ------------------------------------------------------------------
+
+    def fwd(self, x):
+        """Centered int32 [..., N] -> NTT domain uint32 [P, ..., N]."""
+        outs = []
+        for i, ctx in enumerate(self.mont):
+            psi_rev, _, _ = self._tables[i]
+            xi = ctx.reduce_i32_centered(x)
+            outs.append(_fwd_one(ctx, jnp.asarray(psi_rev), xi))
+        return jnp.stack(outs, axis=0)
+
+    def inv(self, xhat):
+        """NTT domain uint32 [P, ..., N] -> centered int32 [..., N] mod q.
+
+        Performs the per-prime inverse NTT, Garner mixed-radix CRT
+        reconstruction of the exact signed integer coefficient, and centered
+        reduction mod q -- all division-free uint32 ops.
+        """
+        ys = []
+        for i, ctx in enumerate(self.mont):
+            _, psi_inv_rev, n_inv_scale = self._tables[i]
+            ys.append(_inv_one(ctx, jnp.asarray(psi_inv_rev), n_inv_scale, xhat[i]))
+        return self._crt_to_centered(ys)
+
+    def _crt_to_centered(self, ys):
+        """Garner reconstruction of [y mod p_i] -> centered int32 mod q."""
+        g = self._garner
+        m0, m1, m2 = self.mont
+        y0, y1, y2 = ys
+        # mixed-radix digits: x = v0 + v1*p0 + v2*p0*p1, 0 <= v_i < p_i
+        v0 = y0
+        v1 = m1.mont_mul(m1.sub(y1, m1.reduce_u32(v0)), jnp.uint32(g["c01_mont"]))
+        t2 = m2.sub(y2, m2.reduce_u32(v0))
+        v1_mod_p2 = m2.reduce_u32(v1)
+        p0_mont_p2 = jnp.uint32(m2.h_to_mont(PRIMES[0] % PRIMES[2]))
+        t2 = m2.sub(t2, m2.mont_mul(v1_mod_p2, p0_mont_p2))
+        v2 = m2.mont_mul(t2, jnp.uint32(g["c012_mont"]))
+
+        # signed centering: x > floor(M/2)  <=>  (v2,v1,v0) > (h2,h1,h0) lexicographic
+        h0, h1, h2 = (jnp.uint32(h) for h in g["half_digits"])
+        gt = (v2 > h2) | (
+            (v2 == h2) & ((v1 > h1) | ((v1 == h1) & (v0 > h0)))
+        )
+
+        # x mod q = v0 + v1*(p0 mod q) + v2*(p0p1 mod q) - [x>M/2]*(M mod q)
+        qc = self.qctx
+        acc = qc.reduce_u32(v0)
+        acc = qc.add(acc, qc.mont_mul(v1, jnp.uint32(g["k1_mont"])))
+        acc = qc.add(acc, qc.mont_mul(v2, jnp.uint32(g["k2_mont"])))
+        acc = qc.sub(acc, jnp.where(gt, jnp.uint32(g["m_mod_q"]), jnp.uint32(0)))
+        return self.to_centered(acc)
+
+    def to_centered(self, u):
+        """[0, q) uint32 -> centered int32 in [-(q-1)/2, q/2]."""
+        qh = jnp.uint32(self.q // 2)
+        wrap = u > qh
+        return jax.lax.bitcast_convert_type(
+            u - jnp.where(wrap, jnp.uint32(self.q), jnp.uint32(0)), jnp.int32
+        )
+
+    # ------------------------------------------------------------------
+    # NTT-domain (pointwise) algebra: all inputs/outputs [P, ..., N] uint32
+    # ------------------------------------------------------------------
+
+    def dot_hat(self, a, b):
+        """Pointwise Montgomery product (value carries an R^{-1}, cancelled
+        by the inverse transform's scaling)."""
+        return jnp.stack(
+            [self.mont[i].mont_mul(a[i], b[i]) for i in range(NUM_PRIMES)], 0
+        )
+
+    def add_hat(self, a, b):
+        return jnp.stack([self.mont[i].add(a[i], b[i]) for i in range(NUM_PRIMES)], 0)
+
+    def sub_hat(self, a, b):
+        return jnp.stack([self.mont[i].sub(a[i], b[i]) for i in range(NUM_PRIMES)], 0)
+
+    def sum_hat(self, a, axis):
+        """addmod-reduce along a (small, static) axis of an NTT-domain array.
+
+        axis is counted over the trailing (non-P) dims of each per-prime slice,
+        i.e. ``axis`` refers to the full [P, ...] array's axis index.
+        """
+        assert axis != 0, "cannot reduce the prime axis"
+        size = a.shape[axis]
+        out = jax.lax.index_in_dim(a, 0, axis, keepdims=False)
+        for j in range(1, size):
+            nxt = jax.lax.index_in_dim(a, j, axis, keepdims=False)
+            out = jnp.stack(
+                [self.mont[i].add(out[i], nxt[i]) for i in range(NUM_PRIMES)], 0
+            )
+        return out
+
+    # Convenience: full multiply of centered int32 polynomials
+    def polymul(self, a, b):
+        """Exact negacyclic product of centered int32 polys [..., N] mod q."""
+        return self.inv(self.dot_hat(self.fwd(a), self.fwd(b)))
+
+
+@functools.lru_cache(maxsize=None)
+def get_ring(n: int, q: int) -> RingContext:
+    return RingContext(n=n, q=q)
+
+
+def negacyclic_schoolbook(a, b, q):
+    """O(N^2) reference negacyclic product on numpy object ints (tests only).
+
+    Mirrors the semantics of poly-ring-xnp1's `*` (x^N == -1), used as the
+    golden model for NTT correctness tests.
+    """
+    a = np.asarray(a, dtype=object)
+    b = np.asarray(b, dtype=object)
+    n = a.shape[-1]
+    out = np.zeros(a.shape[:-1] + (n,), dtype=object)
+    for i in range(n):
+        for j in range(n):
+            k = i + j
+            sign = 1
+            if k >= n:
+                k -= n
+                sign = -1
+            out[..., k] += sign * a[..., i] * b[..., j]
+    out = np.mod(out, q)
+    half = q // 2
+    out = np.where(out > half, out - q, out)
+    return out.astype(np.int64)

@@ -1,0 +1,89 @@
+"""Random samplers for the commitment scheme and sigma protocols.
+
+TPU-native analog of the reference's three samplers:
+
+  * uniform coefficients in [-bound, bound]
+    (/root/reference/src/polynomial.rs:14-25)
+  * iid Gaussian coefficients cast to integers -- a rounded/truncated
+    discrete Gaussian (/root/reference/src/polynomial.rs:28-44; the Rust
+    code converts f64 draws with ``I::from_f64``)
+  * challenge-space polynomials: exactly kappa coefficients equal to +-1,
+    positions chosen by shuffle (/root/reference/src/challenge_space.rs:12-33)
+
+All samplers take an explicit ``jax.random`` key and a ``shape`` prefix, and
+append the ring axis N themselves, so a batch of proofs draws all its
+randomness in one fused kernel. Divergence note (documented, intentional):
+the bit-stream differs from Rust `rand 0.10`; distributions are equivalent.
+The reference's exact stream can only be matched by replaying its RNG -- see
+utils/testvectors.py for the golden-vector interchange format instead.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def uniform_centered(key, shape, n: int, bound: int):
+    """Uniform iid coefficients in [-bound, bound], int32 ``shape + (n,)``.
+
+    ``bound`` may be up to 2^31 - 2 (the default parameter set uses
+    bound = q//2 = 1757668526 for key generation).
+    """
+    if not 0 < bound <= 2**31 - 2:
+        raise ValueError(f"bound out of int32 range: {bound}")
+    return jax.random.randint(
+        key, shape + (n,), minval=-bound, maxval=bound + 1, dtype=jnp.int32
+    )
+
+
+def gaussian_rounded(key, shape, n: int, sigma: float):
+    """Iid N(0, sigma) coefficients truncated toward zero to int32.
+
+    Matches the reference's ``Normal::sample`` + ``from_f64`` cast pipeline
+    in distribution (Rust float->int casts truncate toward zero). sigma is
+    ~2e4 for the default parameters, far inside exact f32 integer range.
+    """
+    g = jax.random.normal(key, shape + (n,), dtype=jnp.float32) * jnp.float32(sigma)
+    return jnp.trunc(g).astype(jnp.int32)
+
+
+def challenge(key, shape, n: int, kappa: int):
+    """Sample from C = {c : ||c||_inf = 1, ||c||_1 = kappa}: kappa nonzero
+    coefficients, each +-1 with fair coins, positions uniformly shuffled.
+
+    Equivalent to the reference's "set first kappa to +-1 then Fisher-Yates"
+    (/root/reference/src/challenge_space.rs:22-31). Batched via one
+    argsort-of-uniforms permutation per leading index (a uniformly random
+    permutation, as Fisher-Yates produces).
+    """
+    if not 0 < kappa <= n:
+        raise ValueError(f"kappa must be in (0, N], got {kappa}")
+    ksign, kperm = jax.random.split(key)
+    signs = jax.random.rademacher(ksign, shape + (n,), dtype=jnp.int32)
+    base = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, shape + (n,), len(shape)) < kappa,
+        signs,
+        jnp.zeros((), jnp.int32),
+    )
+    # random permutation along last axis: order of iid uniforms
+    u = jax.random.uniform(kperm, shape + (n,))
+    perm = jnp.argsort(u, axis=-1)
+    return jnp.take_along_axis(base, perm, axis=-1)
+
+
+def challenge_difference(key, shape, n: int, kappa: int):
+    """Sample from C-bar = {c - c' : c != c' in C} (invertible in R_q).
+
+    Parity with /root/reference/src/challenge_space.rs:39-54. The resample
+    loop on c == c' is omitted: for the parameter ranges used (N >= 16,
+    kappa >= 2) a collision has probability < 2^-40; instead we flip one
+    coefficient's sign deterministically on collision to guarantee c != c'.
+    """
+    k1, k2 = jax.random.split(key)
+    c1 = challenge(k1, shape, n, kappa)
+    c2 = challenge(k2, shape, n, kappa)
+    eq = jnp.all(c1 == c2, axis=-1, keepdims=True)
+    # on collision, negate c2 (still in C, and != c1 since kappa > 0)
+    c2 = jnp.where(eq, -c2, c2)
+    return c1 - c2
