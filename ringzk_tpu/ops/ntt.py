@@ -70,7 +70,8 @@ def _prime_tables(p: int, g: int, n: int):
         br = _bit_reverse(i, logn)
         psi_rev[i] = ctx.h_to_mont(pow(psi, br, p))
         psi_inv_rev[i] = ctx.h_to_mont(pow(psi_inv, br, p))
-    n_inv_scale = (pow(n, -1, p) * pow(2, 64, p)) % p
+    # N^{-1} * R: mont_mul by this both applies 1/N and leaves values plain
+    n_inv_scale = (pow(n, -1, p) * pow(2, 32, p)) % p
     return psi_rev, psi_inv_rev, n_inv_scale
 
 
@@ -185,7 +186,14 @@ class RingContext:
     # ------------------------------------------------------------------
 
     def fwd(self, x):
-        """Centered int32 [..., N] -> NTT domain uint32 [P, ..., N]."""
+        """Centered int32 [..., N] -> plain NTT domain uint32 [P, ..., N].
+
+        Form discipline: *data* arrays stay in plain residue form; anything
+        that multiplies data (keys, challenges d, scalars g, factors f) must
+        be transformed with :meth:`fwd_const` instead, so every
+        ``dot_hat(const, data)`` Montgomery product lands back in plain form
+        and :meth:`inv` needs no correction factor.
+        """
         outs = []
         for i, ctx in enumerate(self.mont):
             psi_rev, _, _ = self._tables[i]
@@ -193,12 +201,22 @@ class RingContext:
             outs.append(_fwd_one(ctx, jnp.asarray(psi_rev), xi))
         return jnp.stack(outs, axis=0)
 
-    def inv(self, xhat):
-        """NTT domain uint32 [P, ..., N] -> centered int32 [..., N] mod q.
+    def fwd_const(self, x):
+        """fwd() then per-prime to-Montgomery: the required form for the
+        multiplicative operand of dot_hat/scalar muls."""
+        h = self.fwd(x)
+        return jnp.stack(
+            [self.mont[i].to_mont(h[i]) for i in range(NUM_PRIMES)], axis=0
+        )
 
-        Performs the per-prime inverse NTT, Garner mixed-radix CRT
-        reconstruction of the exact signed integer coefficient, and centered
-        reduction mod q -- all division-free uint32 ops.
+    def inv(self, xhat):
+        """Plain NTT domain uint32 [P, ..., N] -> centered int32 [..., N].
+
+        Input must be in plain residue form: either a fwd() output, or any
+        sum of dot_hat(const-form, plain-form) products. Performs per-prime
+        inverse NTTs, Garner mixed-radix CRT reconstruction of the exact
+        signed integer coefficient, and centered reduction mod q -- all
+        division-free uint32 ops.
         """
         ys = []
         for i, ctx in enumerate(self.mont):
@@ -247,8 +265,8 @@ class RingContext:
     # ------------------------------------------------------------------
 
     def dot_hat(self, a, b):
-        """Pointwise Montgomery product (value carries an R^{-1}, cancelled
-        by the inverse transform's scaling)."""
+        """Pointwise product; exactly one operand must be in const
+        (Montgomery) form, the result is in plain form."""
         return jnp.stack(
             [self.mont[i].mont_mul(a[i], b[i]) for i in range(NUM_PRIMES)], 0
         )
@@ -278,7 +296,7 @@ class RingContext:
     # Convenience: full multiply of centered int32 polynomials
     def polymul(self, a, b):
         """Exact negacyclic product of centered int32 polys [..., N] mod q."""
-        return self.inv(self.dot_hat(self.fwd(a), self.fwd(b)))
+        return self.inv(self.dot_hat(self.fwd_const(a), self.fwd(b)))
 
 
 @functools.lru_cache(maxsize=None)

@@ -57,8 +57,12 @@ def challenge(key, shape, n: int, kappa: int):
     argsort-of-uniforms permutation per leading index (a uniformly random
     permutation, as Fisher-Yates produces).
     """
-    if not 0 < kappa <= n:
-        raise ValueError(f"kappa must be in (0, N], got {kappa}")
+    if kappa < 1:
+        raise ValueError(f"kappa must be >= 1, got {kappa}")
+    # For kappa > N the reference's `take(kappa)` clamps to N (all coeffs
+    # +-1) -- its own integration tests run N=16 with kappa=36
+    # (/root/reference/tests/test.rs:8). Replicate that semantics.
+    kappa = min(kappa, n)
     ksign, kperm = jax.random.split(key)
     signs = jax.random.rademacher(ksign, shape + (n,), dtype=jnp.int32)
     base = jnp.where(

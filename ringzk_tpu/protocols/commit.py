@@ -1,0 +1,170 @@
+"""BDLOP commitment scheme (paper section 4.1), batched-first.
+
+TPU-native re-design of /root/reference/src/commit.rs: the commitment key,
+commitment, and opening are pytrees of int32 arrays (centered residues) with
+leading batch axes; `commit` and `verify` are pure jit/vmap/pjit-able
+functions. The key matrices are additionally cached in NTT domain (uint32,
+leading prime axis) so every commit/verify touches only pointwise
+multiply-accumulates -- the reference's `Mat::dot` hot loop
+(/root/reference/src/mat.rs:95-115) disappears into the CRT-NTT engine.
+
+Key structure (paper eqs. 5-6, /root/reference/src/commit.rs:33-60):
+    a1 = [I_n | A1'],            A1' uniform n x (k-n)
+    a2 = [0_{l x n} | I_l | A2'], A2' uniform l x (k-n-l)
+Commit (eq. 7, /root/reference/src/commit.rs:123-125):
+    c = [a1; a2] . r + [0_n; x],  r uniform with coeffs in [-b, b],
+re-sampled until ||r_i||_2 <= 4 sigma sqrt(N) (never triggers for honest
+parameter sets; see the masked-resample note in `commit`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import mat, norms, sampling
+from ..ops.ntt import RingContext, get_ring
+from ..params import Params
+
+
+class CommitmentKey(NamedTuple):
+    """a1: [..., n, k, N], a2: [..., l, k, N] int32; *_hat: NTT-domain
+    uint32 caches with leading prime axis [P, ..., rows, k, N]."""
+
+    a1: jax.Array
+    a2: jax.Array
+    a1_hat: jax.Array
+    a2_hat: jax.Array
+
+    @property
+    def n_deg(self) -> int:
+        return self.a1.shape[-1]
+
+    def a_hat(self):
+        """[a1; a2] stacked rows, NTT domain: [P, ..., n+l, k, N]."""
+        return jnp.concatenate([self.a1_hat, self.a2_hat], axis=-3)
+
+
+class Commitment(NamedTuple):
+    """c = [c1; c2]: [..., n+l, N] int32 centered."""
+
+    c: jax.Array
+
+    def c1_c2(self, params: Params):
+        """Split into (c1: first n rows, c2: last l rows).
+
+        NOTE divergence from the reference: its `c1_c2`
+        (/root/reference/src/commit.rs:213-218) mislabels the split via
+        `split_rows` (last-rows-second, /root/reference/src/mat.rs:203-213)
+        and is only correct when n == l. We split correctly for all n, l.
+        """
+        return mat.split_rows(self.c, params.n)
+
+
+class Opening(NamedTuple):
+    """x: [..., l, N], r: [..., k, N] int32; f: optional relaxation factor
+    polynomial [..., N] (None == identity, as everywhere in the reference --
+    /root/reference/src/commit.rs:222-235)."""
+
+    x: jax.Array
+    r: jax.Array
+    f: Optional[jax.Array] = None
+
+
+def keygen(key, params: Params, n_deg: int, batch_shape=()) -> CommitmentKey:
+    """Generate commitment key(s). batch_shape prefixes independent keys."""
+    params.validate()
+    ring = get_ring(n_deg, params.modulus)
+    n, k, l, q = params.n, params.k, params.l, params.q
+    k1, k2 = jax.random.split(key)
+
+    def eye_poly(rows):
+        e = jnp.zeros((rows, rows, n_deg), jnp.int32)
+        return e.at[jnp.arange(rows), jnp.arange(rows), 0].set(1)
+
+    a1p = sampling.uniform_centered(k1, batch_shape + (n, k - n), n_deg, q)
+    i_n = jnp.broadcast_to(eye_poly(n), batch_shape + (n, n, n_deg))
+    a1 = jnp.concatenate([i_n, a1p], axis=-2)
+
+    a2p = sampling.uniform_centered(k2, batch_shape + (l, k - n - l), n_deg, q)
+    z_ln = jnp.zeros(batch_shape + (l, n, n_deg), jnp.int32)
+    i_l = jnp.broadcast_to(eye_poly(l), batch_shape + (l, l, n_deg))
+    a2 = jnp.concatenate([z_ln, i_l, a2p], axis=-2)
+
+    # keys are multiplicative constants -> cached in const (Montgomery) form
+    return CommitmentKey(
+        a1=a1, a2=a2, a1_hat=ring.fwd_const(a1), a2_hat=ring.fwd_const(a2)
+    )
+
+
+def commit_ok(params: Params, n_deg: int, r) -> jax.Array:
+    """Commit constraint: every polynomial r_i has ||r_i||_2 <= 4 sigma
+    sqrt(N) (/root/reference/src/params.rs:102-108). r: [..., k, N] ->
+    bool [...] (all-k reduced)."""
+    return jnp.all(norms.norm2_leq(r, params.commit_bound(n_deg)), axis=-1)
+
+
+def verify_ok(params: Params, n_deg: int, z) -> jax.Array:
+    """Verification constraint ||z_i||_2 <= 2 sigma sqrt(N)
+    (/root/reference/src/params.rs:112-118)."""
+    return jnp.all(norms.norm2_leq(z, params.verify_bound(n_deg)), axis=-1)
+
+
+def commit(key, ck: CommitmentKey, x, params: Params):
+    """Commit to x: [..., l, N] -> (Opening, Commitment), batched.
+
+    The reference loops resampling r until the commit constraint holds
+    (/root/reference/src/commit.rs:98-107); for any valid parameter set the
+    constraint is implied by |r| <= b (b sqrt(N) << 4 sigma sqrt(N) since
+    sigma >= 11 kappa b), so one masked backup resample round is ample.
+    """
+    n_deg = x.shape[-1]
+    ring = get_ring(n_deg, params.modulus)
+    batch = x.shape[:-2]
+    ka, kb = jax.random.split(key)
+    r = sampling.uniform_centered(ka, batch + (params.k,), n_deg, params.b)
+    ok = commit_ok(params, n_deg, r)  # [...] bool
+    r2 = sampling.uniform_centered(kb, batch + (params.k,), n_deg, params.b)
+    r = jnp.where(ok[..., None, None], r, r2)
+
+    c = _commit_value(ring, ck, x, r, params)
+    return Opening(x=x, r=r), Commitment(c=c)
+
+
+def _zero_pad_rows(x, n_rows: int):
+    """[0_n; x] along the rows axis: [..., l, N] -> [..., n+l, N]."""
+    zeros = jnp.zeros(x.shape[:-2] + (n_rows, x.shape[-1]), x.dtype)
+    return jnp.concatenate([zeros, x], axis=-2)
+
+
+def _commit_value(ring: RingContext, ck: CommitmentKey, x, r, params: Params):
+    """c = [a1; a2] . r + [0_n; x], computed in one NTT round trip (the
+    [0_n; x] term is added in the NTT domain: both sides are plain-form)."""
+    ar_hat = mat.matvec_hat(ring, ck.a_hat(), ring.fwd(r))  # [P, ..., n+l, N]
+    z_hat = ring.fwd(_zero_pad_rows(x, params.n))
+    return ring.inv(ring.add_hat(ar_hat, z_hat))
+
+
+def verify(ck: CommitmentKey, com: Commitment, opening: Opening, params: Params):
+    """Opening verification incl. the relaxation factor f
+    (/root/reference/src/commit.rs:173-210):
+        f . c == [a1; a2] . r + f . [0_n; x]   (f None => identity)
+    Returns bool [...] with all structure axes reduced."""
+    x, r, f = opening
+    n_deg = x.shape[-1]
+    ring = get_ring(n_deg, params.modulus)
+
+    ok = commit_ok(params, n_deg, r)
+
+    ar_hat = mat.matvec_hat(ring, ck.a_hat(), ring.fwd(r))
+    zfull = _zero_pad_rows(x, params.n)
+    if f is None:
+        rhs_hat = ring.add_hat(ar_hat, ring.fwd(zfull))
+        lhs_hat = ring.fwd(com.c)
+    else:
+        f_hat = ring.fwd_const(f)
+        rhs_hat = ring.add_hat(ar_hat, mat.scalar_mul_hat(ring, f_hat, ring.fwd(zfull)))
+        lhs_hat = mat.scalar_mul_hat(ring, f_hat, ring.fwd(com.c))
+    return ok & mat.equal_mod_q_hat(ring, lhs_hat, rhs_hat, struct_axes=1)

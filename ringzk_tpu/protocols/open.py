@@ -1,0 +1,149 @@
+"""Proof of Opening a commitment (paper section 4.4), batched-first.
+
+TPU-native re-design of /root/reference/src/prove/open.rs: the 3-move sigma
+protocol is four pure functions (prover commit -> verifier challenge ->
+prover response -> verifier verify) over pytrees of arrays, each jit-able
+and batched over arbitrary leading axes. The message pytrees mirror the
+reference's seven-type family (ResponseContext/Commitment/
+VerificationContext/Challenge/Response) so a user of ring-zk finds the same
+protocol surface.
+
+Protocol (prover knows opening (x, r) of c):
+  P->V:  c,  t = a1 . y            with y ~ N(0, sigma)^k
+  V->P:  d  ~ challenge space C
+  P->V:  z = y + d * r
+  V:     ||z_i|| <= 2 sigma sqrt(N)  and  a1 . z == t + c1 * d
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import mat, sampling, zq
+from ..ops.ntt import get_ring
+from ..params import Params
+from .commit import Commitment, CommitmentKey, Opening, commit, verify_ok
+
+
+class OpenProofResponseContext(NamedTuple):
+    """Prover-private state between moves 1 and 3
+    (/root/reference/src/prove/open.rs:181-187)."""
+
+    opening: Opening
+    y: jax.Array  # [..., k, N]
+
+
+class OpenProofCommitment(NamedTuple):
+    """First prover->verifier message (/root/reference/src/prove/open.rs:190-198)."""
+
+    c: Commitment
+    t: jax.Array  # [..., n, N]
+
+
+class OpenProofVerificationContext(NamedTuple):
+    """Verifier-private state (/root/reference/src/prove/open.rs:202-210)."""
+
+    c1: jax.Array  # [..., n, N]
+    t: jax.Array   # [..., n, N]
+    d: jax.Array   # [..., N]
+
+
+class OpenProofChallenge(NamedTuple):
+    d: jax.Array  # [..., N]
+
+
+class OpenProofResponse(NamedTuple):
+    z: jax.Array  # [..., k, N]
+
+
+def prover_commit(key, ck: CommitmentKey, x, params: Params):
+    """Move 1. x: [..., l, N] -> (response context, proof commitment).
+
+    Mirrors /root/reference/src/prove/open.rs:80-103: commit to x, draw
+    y ~ N(0, sigma)^k (rounded discrete Gaussian), send t = a1 . y.
+    """
+    n_deg = x.shape[-1]
+    ring = get_ring(n_deg, params.modulus)
+    k_com, k_y = jax.random.split(key)
+
+    opening, c = commit(k_com, ck, x, params)
+    sigma = params.standard_deviation(n_deg)
+    y = sampling.gaussian_rounded(k_y, x.shape[:-2] + (params.k,), n_deg, sigma)
+    t = ring.inv(mat.matvec_hat(ring, ck.a1_hat, ring.fwd(y)))
+    return (
+        OpenProofResponseContext(opening=opening, y=y),
+        OpenProofCommitment(c=c, t=t),
+    )
+
+
+def generate_challenge(key, commitment: OpenProofCommitment, params: Params):
+    """Move 2 (/root/reference/src/prove/open.rs:143-158): draw d from the
+    challenge space; retain (c1, t, d) for verification."""
+    n_deg = commitment.t.shape[-1]
+    batch = commitment.t.shape[:-2]
+    d = sampling.challenge(key, batch, n_deg, params.kappa)
+    c1, _ = commitment.c.c1_c2(params)
+    return (
+        OpenProofVerificationContext(c1=c1, t=commitment.t, d=d),
+        OpenProofChallenge(d=d),
+    )
+
+
+def create_response(
+    ctx: OpenProofResponseContext, challenge: OpenProofChallenge, params: Params
+):
+    """Move 3 (/root/reference/src/prove/open.rs:107-117): z = y + d * r.
+
+    Note: like the reference, no rejection-sampling abort (SURVEY.md
+    section 2.1) -- the relaxed 2 sigma sqrt(N) verify bound absorbs it.
+    """
+    n_deg = ctx.y.shape[-1]
+    ring = get_ring(n_deg, params.modulus)
+    d_hat = ring.fwd_const(challenge.d)
+    dr = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(ctx.opening.r)))
+    z = zq.add_centered(ring.qctx, ctx.y, dr)
+    return OpenProofResponse(z=z)
+
+
+def verify(
+    ck: CommitmentKey,
+    response: OpenProofResponse,
+    vctx: OpenProofVerificationContext,
+    params: Params,
+):
+    """Move 4 (/root/reference/src/prove/open.rs:162-174). Returns bool [...]:
+    norm bound on every z_i AND a1 . z == t + c1 * d."""
+    z = response.z
+    n_deg = z.shape[-1]
+    ring = get_ring(n_deg, params.modulus)
+
+    ok_norm = verify_ok(params, n_deg, z)
+
+    lhs_hat = mat.matvec_hat(ring, ck.a1_hat, ring.fwd(z))
+    d_hat = ring.fwd_const(vctx.d)
+    rhs_hat = ring.add_hat(
+        ring.fwd(vctx.t), mat.scalar_mul_hat(ring, d_hat, ring.fwd(vctx.c1))
+    )
+    return ok_norm & mat.equal_mod_q_hat(ring, lhs_hat, rhs_hat, struct_axes=1)
+
+
+def roundtrip(key, ck: CommitmentKey, x, params: Params):
+    """Full 3-phase protocol in one jit-able call (prover + verifier).
+
+    Returns (ok, opening_ok): the sigma-protocol acceptance and the direct
+    commitment-opening check, both bool [...]. This is the reference's
+    integration-test loop body (/root/reference/tests/test.rs:11-31) as a
+    single batched program -- and the unit of the headline benchmark.
+    """
+    from . import commit as commit_mod
+
+    k1, k2 = jax.random.split(key)
+    rctx, pcom = prover_commit(k1, ck, x, params)
+    opening_ok = commit_mod.verify(ck, pcom.c, rctx.opening, params)
+    vctx, chal = generate_challenge(k2, pcom, params)
+    resp = create_response(rctx, chal, params)
+    ok = verify(ck, resp, vctx, params)
+    return ok, opening_ok
