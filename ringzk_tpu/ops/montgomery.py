@@ -73,8 +73,9 @@ class MontCtx:
         return lo2 - jnp.where(sub, p, jnp.uint32(0))  # wrapping subtract is exact
 
     def mul(self, a, b):
-        """Plain modular product a*b mod p for normal-form a, b (two REDCs)."""
-        return self.mont_mul(self.mont_mul(a, b), jnp.uint32(self.r3))
+        """Plain modular product a*b mod p for normal-form a, b (two REDCs):
+        mont_mul(a, b) = a*b*R^{-1}; a second REDC against R^2 restores it."""
+        return self.mont_mul(self.mont_mul(a, b), jnp.uint32(self.r2))
 
     def add(self, a, b):
         """(a + b) mod p for a, b in [0, p)."""

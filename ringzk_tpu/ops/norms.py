@@ -20,7 +20,7 @@ from . import u64
 
 
 def norm2_squared(x, axis=-1):
-    """Exact sum of squared coefficients as a (hi, lo) uint32 pair."""
+    """Exact sum of squared coefficients as a (hi, mid, lo) uint32 triple."""
     return u64.sum_squares(x, axis=axis)
 
 
@@ -30,10 +30,12 @@ def norm2_leq(x, bound: int, axis=-1):
     ``bound`` is a Python int (static). Matches BigUint isqrt comparison.
     """
     limit = bound * bound + 2 * bound        # isqrt(S) <= B  <=>  S <= B^2+2B
-    lim_hi = jnp.uint32(limit >> 32)
-    lim_lo = jnp.uint32(limit & 0xFFFFFFFF)
-    s_hi, s_lo = norm2_squared(x, axis=axis)
-    return u64.le64(s_hi, s_lo, lim_hi, lim_lo)
+    assert limit < 2**96
+    l2 = jnp.uint32(limit >> 64)
+    l1 = jnp.uint32((limit >> 32) & 0xFFFFFFFF)
+    l0 = jnp.uint32(limit & 0xFFFFFFFF)
+    s2, s1, s0 = norm2_squared(x, axis=axis)
+    return u64.le96(s2, s1, s0, l2, l1, l0)
 
 
 def norm1(x, axis=-1):

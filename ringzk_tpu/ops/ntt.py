@@ -217,6 +217,12 @@ class RingContext:
         inverse NTTs, Garner mixed-radix CRT reconstruction of the exact
         signed integer coefficient, and centered reduction mod q -- all
         division-free uint32 ops.
+
+        DEPTH-ONE RULE: between fwd() and inv(), apply at most ONE ring
+        multiplication per term (plus <= ACC_MAX accumulated terms). The CRT
+        range M only covers |coeff| <= ACC_MAX * N * (q/2)^2; a chained
+        product like g*(A.y) must reduce the inner product mod q (inv + fwd)
+        before the outer multiply, or reconstruction silently wraps mod M.
         """
         ys = []
         for i, ctx in enumerate(self.mont):
@@ -283,6 +289,7 @@ class RingContext:
         axis is counted over the trailing (non-P) dims of each per-prime slice,
         i.e. ``axis`` refers to the full [P, ...] array's axis index.
         """
+        axis = axis % a.ndim
         assert axis != 0, "cannot reduce the prime axis"
         size = a.shape[axis]
         out = jax.lax.index_in_dim(a, 0, axis, keepdims=False)

@@ -78,6 +78,44 @@ def le64(a_hi, a_lo, b_hi, b_lo):
     return (a_hi < b_hi) | ((a_hi == b_hi) & (a_lo <= b_lo))
 
 
+def add96(a2, a1, a0, b2, b1, b0):
+    """96-bit addition on uint32 limb triples (hi, mid, lo)."""
+    lo = a0 + b0
+    c0 = (lo < a0).astype(jnp.uint32)
+    m1 = a1 + b1
+    c1 = (m1 < a1).astype(jnp.uint32)
+    mid = m1 + c0
+    c1 = c1 + (mid < m1).astype(jnp.uint32)
+    hi = a2 + b2 + c1
+    return hi, mid, lo
+
+
+def sum96(hi, mid, lo, axis=-1):
+    """Exact 96-bit sum of uint32 triples along ``axis`` (power-of-two len)."""
+    hi = jnp.moveaxis(hi, axis, -1)
+    mid = jnp.moveaxis(mid, axis, -1)
+    lo = jnp.moveaxis(lo, axis, -1)
+    n = hi.shape[-1]
+    if n & (n - 1):
+        raise ValueError(f"sum96 axis length {n} must be a power of two")
+    while n > 1:
+        n //= 2
+        hi, mid, lo = add96(
+            hi[..., :n], mid[..., :n], lo[..., :n],
+            hi[..., n:], mid[..., n:], lo[..., n:],
+        )
+    return hi[..., 0], mid[..., 0], lo[..., 0]
+
+
+def le96(a2, a1, a0, b2, b1, b0):
+    """a <= b for 96-bit triples."""
+    return (
+        (a2 < b2)
+        | ((a2 == b2) & (a1 < b1))
+        | ((a2 == b2) & (a1 == b1) & (a0 <= b0))
+    )
+
+
 def sum64(hi, lo, axis=-1):
     """Exact 64-bit sum of uint32 pairs along ``axis`` via log-tree folding.
 
@@ -95,11 +133,15 @@ def sum64(hi, lo, axis=-1):
 
 
 def sum_squares(x, axis=-1):
-    """Exact sum of x_i^2 along ``axis`` for int32 ``x``, as a 64-bit pair.
+    """Exact sum of x_i^2 along ``axis`` for int32 ``x``, as a 96-bit
+    uint32 limb triple (hi, mid, lo).
 
-    Bound: with |x_i| <= 2^31 and axis length <= 2^16, the sum fits 64 bits.
-    Used for the exact L2-norm constraint checks (the reference's
-    ``norm_2`` at /root/reference/src/polynomial.rs:60-73 compares an integer
+    96 bits, not 64: for adversarial full-range coefficients (|x| ~ 2^31,
+    the attacker controls opening randomness r) the sum reaches
+    N * 2^62 ~ 2^78 for N = 2^16 -- a 64-bit accumulator would wrap and an
+    attacker could tune coefficients to slip a huge r past the norm bound.
+    Used for the exact L2-norm constraint checks (the reference's ``norm_2``
+    at /root/reference/src/polynomial.rs:60-73 compares a BigUint integer
     sqrt; we compare squared sums exactly instead -- see ops.norms).
     """
     x = x.astype(jnp.int32)
@@ -116,4 +158,5 @@ def sum_squares(x, axis=-1):
         pad = [(0, 0)] * (hi.ndim - 1) + [(0, pot - n)]
         hi = jnp.pad(hi, pad)
         lo = jnp.pad(lo, pad)
-    return sum64(hi, lo, axis=-1)
+    zero = jnp.zeros_like(hi)
+    return sum96(zero, hi, lo, axis=-1)

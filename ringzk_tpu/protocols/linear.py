@@ -1,0 +1,206 @@
+"""Proof of Linear Relation x' = g * x (paper section 4.4), batched-first.
+
+TPU-native re-design of /root/reference/src/prove/linear.rs. The prover
+holds openings of two commitments c (to x) and cp (to x' = g*x) and proves
+the relation for a public scalar polynomial g.
+
+Protocol:
+  P->V:  c, cp, g,  t = a1.y,  tp = a1.yp,  u = g*(a2.y) - a2.yp
+  V->P:  d ~ C
+  P->V:  z = y + d*r,  zp = yp + d*rp
+  V:     norms of z, zp;  a1.z == t + c1*d;  a1.zp == tp + c1p*d;
+         g*(a2.z) - a2.zp == (g*c2 - c2p)*d + u
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+
+from ..ops import mat, sampling, zq
+from ..ops.ntt import get_ring
+from ..params import Params
+from .commit import Commitment, CommitmentKey, Opening, commit, verify_ok
+
+
+class LinearProofResponseContext(NamedTuple):
+    """(/root/reference/src/prove/linear.rs:257-268)"""
+
+    opening: Opening      # of c (to x)
+    opening_p: Opening    # of cp (to g*x)
+    y: jax.Array          # [..., k, N]
+    yp: jax.Array         # [..., k, N]
+
+
+class LinearProofCommitment(NamedTuple):
+    """(/root/reference/src/prove/linear.rs:271-285)"""
+
+    c: Commitment
+    cp: Commitment
+    g: jax.Array   # [..., N]
+    t: jax.Array   # [..., n, N]
+    tp: jax.Array  # [..., n, N]
+    u: jax.Array   # [..., l, N]
+
+
+class LinearProofVerificationContext(NamedTuple):
+    """(/root/reference/src/prove/linear.rs:289-306)"""
+
+    c1: jax.Array
+    c2: jax.Array
+    c1p: jax.Array
+    c2p: jax.Array
+    g: jax.Array
+    t: jax.Array
+    tp: jax.Array
+    u: jax.Array
+    d: jax.Array
+
+
+class LinearProofChallenge(NamedTuple):
+    d: jax.Array
+
+
+class LinearProofResponse(NamedTuple):
+    z: jax.Array   # [..., k, N]
+    zp: jax.Array  # [..., k, N]
+
+
+def prover_commit(key, ck: CommitmentKey, g, x, params: Params):
+    """Move 1 (/root/reference/src/prove/linear.rs:82-140). g: [..., N],
+    x: [..., l, N]."""
+    n_deg = x.shape[-1]
+    ring = get_ring(n_deg, params.modulus)
+    k_cp, k_c, k_y, k_yp = jax.random.split(key, 4)
+
+    g_hat = ring.fwd_const(g)
+    gx = ring.inv(mat.scalar_mul_hat(ring, g_hat, ring.fwd(x)))
+    opening_p, cp = commit(k_cp, ck, gx, params)
+    opening, c = commit(k_c, ck, x, params)
+
+    sigma = params.standard_deviation(n_deg)
+    batch = x.shape[:-2]
+    y = sampling.gaussian_rounded(k_y, batch + (params.k,), n_deg, sigma)
+    yp = sampling.gaussian_rounded(k_yp, batch + (params.k,), n_deg, sigma)
+
+    y_hat = ring.fwd(y)
+    yp_hat = ring.fwd(yp)
+    t = ring.inv(mat.matvec_hat(ring, ck.a1_hat, y_hat))
+    tp = ring.inv(mat.matvec_hat(ring, ck.a1_hat, yp_hat))
+    # u = g*(a2.y) - a2.yp. Depth-one rule (see RingContext.inv): a2.y must
+    # be reduced mod q before the second multiplication by g, else the exact
+    # integer coefficients exceed the CRT range.
+    a2y = ring.inv(mat.matvec_hat(ring, ck.a2_hat, y_hat))
+    u = ring.inv(
+        ring.sub_hat(
+            mat.scalar_mul_hat(ring, g_hat, ring.fwd(a2y)),
+            mat.matvec_hat(ring, ck.a2_hat, yp_hat),
+        )
+    )
+
+    return (
+        LinearProofResponseContext(opening=opening, opening_p=opening_p, y=y, yp=yp),
+        LinearProofCommitment(c=c, cp=cp, g=g, t=t, tp=tp, u=u),
+    )
+
+
+def generate_challenge(key, commitment: LinearProofCommitment, params: Params):
+    """Move 2 (/root/reference/src/prove/linear.rs:184-209)."""
+    n_deg = commitment.t.shape[-1]
+    batch = commitment.t.shape[:-2]
+    d = sampling.challenge(key, batch, n_deg, params.kappa)
+    c1, c2 = commitment.c.c1_c2(params)
+    c1p, c2p = commitment.cp.c1_c2(params)
+    return (
+        LinearProofVerificationContext(
+            c1=c1, c2=c2, c1p=c1p, c2p=c2p, g=commitment.g,
+            t=commitment.t, tp=commitment.tp, u=commitment.u, d=d,
+        ),
+        LinearProofChallenge(d=d),
+    )
+
+
+def create_response(
+    ctx: LinearProofResponseContext, challenge: LinearProofChallenge, params: Params
+):
+    """Move 3 (/root/reference/src/prove/linear.rs:144-158):
+    z = y + d*r, zp = yp + d*rp."""
+    n_deg = ctx.y.shape[-1]
+    ring = get_ring(n_deg, params.modulus)
+    d_hat = ring.fwd_const(challenge.d)
+    dr = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(ctx.opening.r)))
+    drp = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(ctx.opening_p.r)))
+    return LinearProofResponse(
+        z=zq.add_centered(ring.qctx, ctx.y, dr),
+        zp=zq.add_centered(ring.qctx, ctx.yp, drp),
+    )
+
+
+def verify(
+    ck: CommitmentKey,
+    response: LinearProofResponse,
+    vctx: LinearProofVerificationContext,
+    params: Params,
+):
+    """Move 4 (/root/reference/src/prove/linear.rs:213-250). bool [...]."""
+    z, zp = response.z, response.zp
+    n_deg = z.shape[-1]
+    ring = get_ring(n_deg, params.modulus)
+
+    ok = verify_ok(params, n_deg, z) & verify_ok(params, n_deg, zp)
+
+    d_hat = ring.fwd_const(vctx.d)
+    g_hat = ring.fwd_const(vctx.g)
+    z_hat = ring.fwd(z)
+    zp_hat = ring.fwd(zp)
+
+    # a1.z == t + c1*d
+    eq1 = mat.equal_mod_q_hat(
+        ring,
+        mat.matvec_hat(ring, ck.a1_hat, z_hat),
+        ring.add_hat(
+            ring.fwd(vctx.t), mat.scalar_mul_hat(ring, d_hat, ring.fwd(vctx.c1))
+        ),
+    )
+    # a1.zp == tp + c1p*d
+    eq2 = mat.equal_mod_q_hat(
+        ring,
+        mat.matvec_hat(ring, ck.a1_hat, zp_hat),
+        ring.add_hat(
+            ring.fwd(vctx.tp), mat.scalar_mul_hat(ring, d_hat, ring.fwd(vctx.c1p))
+        ),
+    )
+    # g*(a2.z) - a2.zp == (g*c2 - c2p)*d + u
+    # Depth-one rule: reduce a2.z mod q before multiplying by g, and reduce
+    # (g*c2 - c2p) mod q before multiplying by d.
+    a2z = ring.inv(mat.matvec_hat(ring, ck.a2_hat, z_hat))
+    lhs = ring.sub_hat(
+        mat.scalar_mul_hat(ring, g_hat, ring.fwd(a2z)),
+        mat.matvec_hat(ring, ck.a2_hat, zp_hat),
+    )
+    gc2_c2p = ring.inv(
+        ring.sub_hat(
+            mat.scalar_mul_hat(ring, g_hat, ring.fwd(vctx.c2)), ring.fwd(vctx.c2p)
+        )
+    )
+    rhs = ring.add_hat(
+        mat.scalar_mul_hat(ring, d_hat, ring.fwd(gc2_c2p)), ring.fwd(vctx.u)
+    )
+    eq3 = mat.equal_mod_q_hat(ring, lhs, rhs)
+
+    return ok & eq1 & eq2 & eq3
+
+
+def roundtrip(key, ck: CommitmentKey, g, x, params: Params):
+    """Full 3-phase linear proof (the reference's integration loop body,
+    /root/reference/tests/test.rs:34-56) as one batched program."""
+    from . import commit as commit_mod
+
+    k1, k2 = jax.random.split(key)
+    rctx, pcom = prover_commit(k1, ck, g, x, params)
+    op_ok = commit_mod.verify(ck, pcom.c, rctx.opening, params)
+    op_ok &= commit_mod.verify(ck, pcom.cp, rctx.opening_p, params)
+    vctx, chal = generate_challenge(k2, pcom, params)
+    resp = create_response(rctx, chal, params)
+    return verify(ck, resp, vctx, params), op_ok

@@ -1,0 +1,243 @@
+"""Proof of Sum x' = sum_i g_i * x_i -- generalization of the linear proof.
+
+TPU-native re-design of /root/reference/src/prove/sum.rs (itself not in the
+paper; see its module doc). The VL summands are a *leading structure axis*
+``V`` here -- xs: [..., V, l, N], gs: [..., V, N] -- so the whole vector of
+commitments/responses is one batched program instead of the reference's
+Vec-of-Mats loops.
+
+Protocol:
+  P->V:  cp, {c_i}, {g_i},  tp = a1.yp,  {t_i = a1.y_i},
+         u = sum_i g_i*(a2.y_i) - a2.yp
+  V->P:  d ~ C
+  P->V:  {z_i = y_i + d*r_i},  zp = yp + d*rp
+  V:     norms; per-i a1.z_i == t_i + c1_i*d; a1.zp == tp + c1p*d;
+         sum_i g_i*(a2.z_i) - a2.zp == (sum_i g_i*c2_i - c2p)*d + u
+
+Divergence (SURVEY.md section 2.1): the reference's length check uses `&&`
+where `||` is intended (/root/reference/src/prove/sum.rs:272-275), letting a
+response with exactly one mismatched length slip to a later panic. Here the
+structure axes make lengths part of the array shapes: any mismatch fails
+shape checking up front (we also verify it explicitly in `verify`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import mat, sampling, zq
+from ..ops.ntt import get_ring
+from ..params import Params
+from .commit import Commitment, CommitmentKey, Opening, commit, verify_ok
+
+
+class SumProofResponseContext(NamedTuple):
+    """(/root/reference/src/prove/sum.rs:327-339)"""
+
+    openings: Opening     # batched over V: x [..., V, l, N], r [..., V, k, N]
+    opening_p: Opening
+    yp: jax.Array         # [..., k, N]
+    ys: jax.Array         # [..., V, k, N]
+
+
+class SumProofCommitment(NamedTuple):
+    """(/root/reference/src/prove/sum.rs:342-356)"""
+
+    cp: Commitment        # [..., n+l, N]
+    cs: Commitment        # [..., V, n+l, N]
+    gs: jax.Array         # [..., V, N]
+    tp: jax.Array         # [..., n, N]
+    ts: jax.Array         # [..., V, n, N]
+    u: jax.Array          # [..., l, N]
+
+
+class SumProofVerificationContext(NamedTuple):
+    """(/root/reference/src/prove/sum.rs:359-372)"""
+
+    c1p: jax.Array        # [..., n, N]
+    c2p: jax.Array        # [..., l, N]
+    c1s: jax.Array        # [..., V, n, N]
+    c2s: jax.Array        # [..., V, l, N]
+    gs: jax.Array
+    ts: jax.Array
+    tp: jax.Array
+    u: jax.Array
+    d: jax.Array
+
+
+class SumProofChallenge(NamedTuple):
+    d: jax.Array
+
+
+class SumProofResponse(NamedTuple):
+    zp: jax.Array         # [..., k, N]
+    zs: jax.Array         # [..., V, k, N]
+
+
+def _sum_v(ring, hat, v_axis):
+    """addmod-reduce an NTT-domain stack over the summand axis."""
+    return ring.sum_hat(hat, v_axis)
+
+
+def prover_commit(key, ck: CommitmentKey, gs, xs, params: Params):
+    """Move 1 (/root/reference/src/prove/sum.rs:99-178).
+
+    gs: [..., V, N], xs: [..., V, l, N]. The xs/ys/commit calls for all V
+    summands run as one batched commit (the reference loops V times).
+    """
+    if gs.shape[-2] != xs.shape[-3] or gs.shape[-2] < 1:
+        raise ValueError(f"gs/xs summand axes disagree: {gs.shape} vs {xs.shape}")
+    vl = gs.shape[-2]
+    if vl + 1 > 16:
+        raise ValueError("VL too large for exact CRT accumulation")
+    n_deg = xs.shape[-1]
+    ring = get_ring(n_deg, params.modulus)
+    k_cp, k_cs, k_ys, k_yp = jax.random.split(key, 4)
+    batch = xs.shape[:-3]
+
+    gs_hat = ring.fwd_const(gs)
+
+    # xp = sum_i g_i * x_i  (single-depth products, V-term accumulation)
+    gx_hat = mat.scalar_mul_hat(ring, gs_hat, ring.fwd(xs))  # [P, ..., V, l, N]
+    xp = ring.inv(_sum_v(ring, gx_hat, v_axis=-3))           # [..., l, N]
+
+    opening_p, cp = commit(k_cp, ck, xp, params)
+    openings, cs = commit(k_cs, ck, xs, params)  # batched over V
+
+    sigma = params.standard_deviation(n_deg)
+    ys = sampling.gaussian_rounded(k_ys, batch + (vl, params.k), n_deg, sigma)
+    yp = sampling.gaussian_rounded(k_yp, batch + (params.k,), n_deg, sigma)
+
+    ys_hat = ring.fwd(ys)
+    yp_hat = ring.fwd(yp)
+    ts = ring.inv(mat.matvec_hat(ring, ck.a1_hat, ys_hat))   # [..., V, n, N]
+    tp = ring.inv(mat.matvec_hat(ring, ck.a1_hat, yp_hat))   # [..., n, N]
+
+    # u = sum_i g_i*(a2.y_i) - a2.yp  (depth-one: reduce a2.y_i first)
+    a2ys = ring.inv(mat.matvec_hat(ring, ck.a2_hat, ys_hat))  # [..., V, l, N]
+    gay = mat.scalar_mul_hat(ring, gs_hat, ring.fwd(a2ys))    # [P, ..., V, l, N]
+    u = ring.inv(
+        ring.sub_hat(_sum_v(ring, gay, v_axis=-3), mat.matvec_hat(ring, ck.a2_hat, yp_hat))
+    )
+
+    return (
+        SumProofResponseContext(openings=openings, opening_p=opening_p, yp=yp, ys=ys),
+        SumProofCommitment(cp=cp, cs=cs, gs=gs, tp=tp, ts=ts, u=u),
+    )
+
+
+def generate_challenge(key, commitment: SumProofCommitment, params: Params):
+    """Move 2 (/root/reference/src/prove/sum.rs:228-253)."""
+    n_deg = commitment.tp.shape[-1]
+    batch = commitment.tp.shape[:-2]
+    d = sampling.challenge(key, batch, n_deg, params.kappa)
+    c1s, c2s = commitment.cs.c1_c2(params)
+    c1p, c2p = commitment.cp.c1_c2(params)
+    return (
+        SumProofVerificationContext(
+            c1p=c1p, c2p=c2p, c1s=c1s, c2s=c2s, gs=commitment.gs,
+            ts=commitment.ts, tp=commitment.tp, u=commitment.u, d=d,
+        ),
+        SumProofChallenge(d=d),
+    )
+
+
+def create_response(
+    ctx: SumProofResponseContext, challenge: SumProofChallenge, params: Params
+):
+    """Move 3 (/root/reference/src/prove/sum.rs:182-200)."""
+    n_deg = ctx.yp.shape[-1]
+    ring = get_ring(n_deg, params.modulus)
+    d_hat = ring.fwd_const(challenge.d)
+    # d broadcasts over the V axis of rs: [..., V, k, N]
+    drs = ring.inv(
+        mat.scalar_mul_hat(ring, d_hat[..., None, :], ring.fwd(ctx.openings.r))
+    )
+    drp = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(ctx.opening_p.r)))
+    return SumProofResponse(
+        zs=zq.add_centered(ring.qctx, ctx.ys, drs),
+        zp=zq.add_centered(ring.qctx, ctx.yp, drp),
+    )
+
+
+def verify(
+    ck: CommitmentKey,
+    response: SumProofResponse,
+    vctx: SumProofVerificationContext,
+    params: Params,
+):
+    """Move 4 (/root/reference/src/prove/sum.rs:257-320). bool [...]."""
+    zs, zp = response.zs, response.zp
+    n_deg = zs.shape[-1]
+    ring = get_ring(n_deg, params.modulus)
+
+    # length checks (the reference's intent at sum.rs:272-275, with the
+    # `&&`->`||` fix): any summand-count mismatch rejects outright
+    if zs.shape[-3] != vctx.ts.shape[-3] or zs.shape[-3] != vctx.c1s.shape[-3]:
+        raise ValueError(
+            f"summand count mismatch: zs {zs.shape[-3]} vs ts {vctx.ts.shape[-3]}"
+            f" vs cs {vctx.c1s.shape[-3]}"
+        )
+
+    ok = jnp.all(verify_ok(params, n_deg, zs), axis=-1) & verify_ok(params, n_deg, zp)
+
+    d_hat = ring.fwd_const(vctx.d)
+    gs_hat = ring.fwd_const(vctx.gs)
+    zs_hat = ring.fwd(zs)
+    zp_hat = ring.fwd(zp)
+
+    # per-i: a1.z_i == t_i + c1_i*d  (d broadcasts over V)
+    eq1 = jnp.all(
+        mat.equal_mod_q_hat(
+            ring,
+            mat.matvec_hat(ring, ck.a1_hat, zs_hat),
+            ring.add_hat(
+                ring.fwd(vctx.ts),
+                mat.scalar_mul_hat(ring, d_hat[..., None, :], ring.fwd(vctx.c1s)),
+            ),
+        ),
+        axis=-1,
+    )
+    # a1.zp == tp + c1p*d
+    eq2 = mat.equal_mod_q_hat(
+        ring,
+        mat.matvec_hat(ring, ck.a1_hat, zp_hat),
+        ring.add_hat(
+            ring.fwd(vctx.tp), mat.scalar_mul_hat(ring, d_hat, ring.fwd(vctx.c1p))
+        ),
+    )
+    # sum_i g_i*(a2.z_i) - a2.zp == (sum_i g_i*c2_i - c2p)*d + u
+    a2zs = ring.inv(mat.matvec_hat(ring, ck.a2_hat, zs_hat))       # [..., V, l, N]
+    lhs = ring.sub_hat(
+        _sum_v(ring, mat.scalar_mul_hat(ring, gs_hat, ring.fwd(a2zs)), v_axis=-3),
+        mat.matvec_hat(ring, ck.a2_hat, zp_hat),
+    )
+    gc2 = ring.inv(
+        ring.sub_hat(
+            _sum_v(ring, mat.scalar_mul_hat(ring, gs_hat, ring.fwd(vctx.c2s)), v_axis=-3),
+            ring.fwd(vctx.c2p),
+        )
+    )
+    rhs = ring.add_hat(mat.scalar_mul_hat(ring, d_hat, ring.fwd(gc2)), ring.fwd(vctx.u))
+    eq3 = mat.equal_mod_q_hat(ring, lhs, rhs)
+
+    return ok & eq1 & eq2 & eq3
+
+
+def roundtrip(key, ck: CommitmentKey, gs, xs, params: Params):
+    """Full 3-phase sum proof (the reference's integration loop body,
+    /root/reference/tests/test.rs:59-93) as one batched program."""
+    from . import commit as commit_mod
+
+    k1, k2 = jax.random.split(key)
+    rctx, pcom = prover_commit(k1, ck, gs, xs, params)
+    op_ok = commit_mod.verify(ck, pcom.cp, rctx.opening_p, params)
+    op_ok &= jnp.all(
+        commit_mod.verify(ck, pcom.cs, rctx.openings, params), axis=-1
+    )
+    vctx, chal = generate_challenge(k2, pcom, params)
+    resp = create_response(rctx, chal, params)
+    return verify(ck, resp, vctx, params), op_ok

@@ -1,0 +1,208 @@
+"""Tier-2 integration tests: batched randomized protocol round-trips.
+
+The reference runs 100 sequential randomized iterations per protocol at N=16
+(/root/reference/tests/test.rs); here the 100 iterations are a *batch axis*
+of one jitted program -- the TPU-native equivalent -- plus the negative-path
+tests the reference lacks (forged responses must fail; SURVEY.md section 4).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ringzk_tpu import Params, keygen
+from ringzk_tpu.protocols import commit as commit_mod
+from ringzk_tpu.protocols import linear, open as open_mod, sum as sum_mod
+
+N = 16
+B = 100  # the reference's 100 iterations, as one batch
+PARAMS = Params()
+
+
+@pytest.fixture(scope="module")
+def ck():
+    return keygen(jax.random.PRNGKey(42), PARAMS, N)
+
+
+def rand_x(key, batch):
+    return jax.random.randint(
+        key, batch + (PARAMS.l, N), -PARAMS.q, PARAMS.q + 1, dtype=jnp.int32
+    )
+
+
+def rand_g(key, batch):
+    return jax.random.randint(
+        key, batch + (N,), -PARAMS.q, PARAMS.q + 1, dtype=jnp.int32
+    )
+
+
+# -- commitment scheme -------------------------------------------------------
+
+
+def test_commit_verify_roundtrip(ck):
+    kx, kc = jax.random.split(jax.random.PRNGKey(0))
+    x = rand_x(kx, (B,))
+    opening, com = commit_mod.commit(kc, ck, x, PARAMS)
+    ok = commit_mod.verify(ck, com, opening, PARAMS)
+    assert bool(jnp.all(ok))
+
+
+def test_commit_wrong_opening_fails(ck):
+    """README doctest semantics (/root/reference/src/commit.rs:151-171):
+    an opening for a different message must not verify."""
+    kx, kx2, kc, kc2 = jax.random.split(jax.random.PRNGKey(1), 4)
+    x, x2 = rand_x(kx, (8,)), rand_x(kx2, (8,))
+    opening, com = commit_mod.commit(kc, ck, x, PARAMS)
+    opening2, com2 = commit_mod.commit(kc2, ck, x2, PARAMS)
+    assert bool(jnp.all(commit_mod.verify(ck, com, opening, PARAMS)))
+    assert not bool(jnp.any(commit_mod.verify(ck, com, opening2, PARAMS)))
+    assert not bool(jnp.any(commit_mod.verify(ck, com2, opening, PARAMS)))
+
+
+def test_commit_oversized_r_fails(ck):
+    """Adversarial r violating the commit constraint must be rejected even
+    if the algebra holds (the constraint check at
+    /root/reference/src/commit.rs:182-184)."""
+    kx, kc = jax.random.split(jax.random.PRNGKey(2))
+    x = rand_x(kx, (4,))
+    opening, com = commit_mod.commit(kc, ck, x, PARAMS)
+    big = PARAMS.commit_bound(N) + 1
+    bad_r = opening.r.at[..., 0, 0].set(big)
+    bad = opening._replace(r=bad_r)
+    assert not bool(jnp.any(commit_mod.verify(ck, com, bad, PARAMS)))
+
+
+def test_commit_relaxed_opening_with_f(ck):
+    """The relaxed verification f*c == a.r + f*[0;x]
+    (/root/reference/src/commit.rs:200-209): exercised with a challenge-set
+    f, which the reference defines but never exercises (f is always None)."""
+    from ringzk_tpu.ops import sampling
+
+    kx, kc, kf = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = rand_x(kx, (4,))
+    opening, com = commit_mod.commit(kc, ck, x, PARAMS)
+    f = sampling.challenge(kf, (4,), N, PARAMS.kappa)
+    relaxed = opening._replace(f=f)
+    # identity-f equivalence: f == 1 behaves exactly like f == None
+    one = jnp.zeros((4, N), jnp.int32).at[..., 0].set(1)
+    assert bool(jnp.all(commit_mod.verify(ck, com, opening._replace(f=one), PARAMS)))
+    # honest opening with a random nonzero f: the relation f*c == a.r + f*z
+    # does NOT hold for f != 1 with an honest (non-relaxed) commitment
+    assert not bool(jnp.any(commit_mod.verify(ck, com, relaxed, PARAMS)))
+
+
+# -- proof of opening --------------------------------------------------------
+
+
+def test_open_proof_roundtrip(ck):
+    kx, kp = jax.random.split(jax.random.PRNGKey(4))
+    x = rand_x(kx, (B,))
+    ok, opening_ok = jax.jit(
+        lambda k, x: open_mod.roundtrip(k, ck, x, PARAMS)
+    )(kp, x)
+    assert bool(jnp.all(ok)) and bool(jnp.all(opening_ok))
+
+
+def test_open_proof_forged_response_fails(ck):
+    kx, kp, kc = jax.random.split(jax.random.PRNGKey(5), 3)
+    x = rand_x(kx, (8,))
+    rctx, pcom = open_mod.prover_commit(kp, ck, x, PARAMS)
+    vctx, chal = open_mod.generate_challenge(kc, pcom, PARAMS)
+    resp = open_mod.create_response(rctx, chal, PARAMS)
+    assert bool(jnp.all(open_mod.verify(ck, resp, vctx, PARAMS)))
+    forged = resp._replace(z=resp.z.at[..., 0, 0].add(1))
+    assert not bool(jnp.any(open_mod.verify(ck, forged, vctx, PARAMS)))
+
+
+def test_open_proof_norm_violation_fails(ck):
+    kx, kp, kc = jax.random.split(jax.random.PRNGKey(6), 3)
+    x = rand_x(kx, (4,))
+    rctx, pcom = open_mod.prover_commit(kp, ck, x, PARAMS)
+    vctx, chal = open_mod.generate_challenge(kc, pcom, PARAMS)
+    resp = open_mod.create_response(rctx, chal, PARAMS)
+    huge = resp._replace(z=resp.z.at[..., 0, 0].set(PARAMS.verify_bound(N) + 1))
+    assert not bool(jnp.any(open_mod.verify(ck, huge, vctx, PARAMS)))
+
+
+# -- proof of linear relation ------------------------------------------------
+
+
+def test_linear_proof_roundtrip(ck):
+    kx, kg, kp = jax.random.split(jax.random.PRNGKey(7), 3)
+    x, g = rand_x(kx, (B,)), rand_g(kg, (B,))
+    ok, op_ok = jax.jit(
+        lambda k: linear.roundtrip(k, ck, g, x, PARAMS)
+    )(kp)
+    assert bool(jnp.all(ok)) and bool(jnp.all(op_ok))
+
+
+def test_linear_proof_wrong_relation_fails(ck):
+    """Commit to x' != g*x: verifier's third equation must reject."""
+    kx, kg, kp, kc = jax.random.split(jax.random.PRNGKey(8), 4)
+    x, g = rand_x(kx, (4,)), rand_g(kg, (4,))
+    rctx, pcom = linear.prover_commit(kp, ck, g, x, PARAMS)
+    # swap g in the public commitment for a different scalar
+    bad_g = rand_g(jax.random.PRNGKey(99), (4,))
+    pcom_bad = pcom._replace(g=bad_g)
+    vctx, chal = linear.generate_challenge(kc, pcom_bad, PARAMS)
+    resp = linear.create_response(rctx, chal, PARAMS)
+    assert not bool(jnp.any(linear.verify(ck, resp, vctx, PARAMS)))
+
+
+# -- proof of sum ------------------------------------------------------------
+
+
+@pytest.mark.parametrize("vl", [1, 4])
+def test_sum_proof_roundtrip(ck, vl):
+    kx, kg, kp = jax.random.split(jax.random.PRNGKey(9), 3)
+    xs = jax.random.randint(
+        kx, (16, vl, PARAMS.l, N), -PARAMS.q, PARAMS.q + 1, dtype=jnp.int32
+    )
+    gs = jax.random.randint(kg, (16, vl, N), -PARAMS.q, PARAMS.q + 1, dtype=jnp.int32)
+    ok, op_ok = jax.jit(lambda k: sum_mod.roundtrip(k, ck, gs, xs, PARAMS))(kp)
+    assert bool(jnp.all(ok)) and bool(jnp.all(op_ok))
+
+
+def test_sum_proof_forged_summand_fails(ck):
+    kx, kg, kp, kc = jax.random.split(jax.random.PRNGKey(10), 4)
+    xs = jax.random.randint(
+        kx, (2, 4, PARAMS.l, N), -PARAMS.q, PARAMS.q + 1, dtype=jnp.int32
+    )
+    gs = jax.random.randint(kg, (2, 4, N), -PARAMS.q, PARAMS.q + 1, dtype=jnp.int32)
+    rctx, pcom = sum_mod.prover_commit(kp, ck, gs, xs, PARAMS)
+    vctx, chal = sum_mod.generate_challenge(kc, pcom, PARAMS)
+    resp = sum_mod.create_response(rctx, chal, PARAMS)
+    assert bool(jnp.all(sum_mod.verify(ck, resp, vctx, PARAMS)))
+    forged = resp._replace(zs=resp.zs.at[..., 1, 0, 0].add(3))
+    assert not bool(jnp.any(sum_mod.verify(ck, forged, vctx, PARAMS)))
+
+
+def test_sum_proof_length_mismatch_rejected(ck):
+    """The corrected length check (reference bug at
+    /root/reference/src/prove/sum.rs:272-275 uses && for ||)."""
+    kx, kg, kp, kc = jax.random.split(jax.random.PRNGKey(11), 4)
+    xs = jax.random.randint(
+        kx, (2, 4, PARAMS.l, N), -PARAMS.q, PARAMS.q + 1, dtype=jnp.int32
+    )
+    gs = jax.random.randint(kg, (2, 4, N), -PARAMS.q, PARAMS.q + 1, dtype=jnp.int32)
+    rctx, pcom = sum_mod.prover_commit(kp, ck, gs, xs, PARAMS)
+    vctx, chal = sum_mod.generate_challenge(kc, pcom, PARAMS)
+    resp = sum_mod.create_response(rctx, chal, PARAMS)
+    short = resp._replace(zs=resp.zs[..., :3, :, :])
+    with pytest.raises(ValueError, match="summand count"):
+        sum_mod.verify(ck, short, vctx, PARAMS)
+
+
+# -- fresh keys per proof (the reference's loop regenerates keys) ------------
+
+
+def test_batched_keys(ck):
+    """Independent commitment keys as a batch axis (the reference generates
+    a fresh ck every iteration; here keys batch like everything else)."""
+    kk, kx, kp = jax.random.split(jax.random.PRNGKey(12), 3)
+    cks = keygen(kk, PARAMS, N, batch_shape=(8,))
+    x = rand_x(kx, (8,))
+    ok, opening_ok = open_mod.roundtrip(kp, cks, x, PARAMS)
+    assert bool(jnp.all(ok)) and bool(jnp.all(opening_ok))
