@@ -1,0 +1,117 @@
+"""Headline benchmark: verified open proofs per second, N=512, one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "proofs/s", "vs_baseline": N}
+
+vs_baseline is measured against the north-star target of 1e5 verified
+opening proofs/s per host at N=512 (BASELINE.json; the Rust reference
+publishes no numbers and cannot be built here -- no Rust toolchain -- so the
+north-star target is the denominator).
+
+Each "proof" is the complete 3-move sigma protocol plus the standalone
+opening verification: commit (incl. key-less message prep), t = a1.y,
+challenge, z = y + d*r, norm check and a1.z == t + c1.d, plus
+Commitment::verify -- i.e. strictly more work than any single Criterion
+phase bench in the reference (/root/reference/benches/bench.rs).
+
+Usage: python bench.py [--batch B] [--n N] [--iters I] [--full]
+  --full additionally prints the per-phase table (reference bench parity)
+         to stderr.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _time_fn(fn, args, iters):
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--n", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--full", action="store_true")
+    args = ap.parse_args()
+
+    from ringzk_tpu import Params, keygen
+    from ringzk_tpu.protocols import open as open_mod
+
+    params = Params()
+    n_deg = args.n
+    b = args.batch
+    kk, kx, kp = jax.random.split(jax.random.PRNGKey(0), 3)
+    ck = keygen(kk, params, n_deg)
+    x = jax.random.randint(
+        kx, (b, params.l, n_deg), -params.q, params.q + 1, dtype=jnp.int32
+    )
+
+    step = jax.jit(lambda k, x: open_mod.roundtrip(k, ck, x, params))
+    dt = _time_fn(step, (kp, x), args.iters)
+    ok, op_ok = step(kp, x)
+    if not (bool(ok.all()) and bool(op_ok.all())):
+        print(json.dumps({"error": "verification failed"}))
+        sys.exit(1)
+
+    proofs_per_s = b / dt
+    target = 1e5  # north-star: >= 1e5 verified open proofs/s per host, N=512
+
+    if args.full:
+        _full_table(params, ck, x, kp, n_deg, b, args.iters)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"verified open proofs/s per chip (N={n_deg}, batch={b})",
+                "value": round(proofs_per_s, 1),
+                "unit": "proofs/s",
+                "vs_baseline": round(proofs_per_s / target, 3),
+            }
+        )
+    )
+
+
+def _full_table(params, ck, x, key, n_deg, b, iters):
+    """Per-phase timings mirroring the reference's Criterion groups
+    (/root/reference/benches/bench.rs): commit / generate_challenge /
+    create_response / verify, per proof."""
+    from ringzk_tpu.protocols import open as open_mod
+
+    k1, k2 = jax.random.split(key)
+    commit_f = jax.jit(lambda k, x: open_mod.prover_commit(k, ck, x, params))
+    rctx, pcom = commit_f(k1, x)
+    chal_f = jax.jit(lambda k, pc: open_mod.generate_challenge(k, pc, params))
+    vctx, chal = chal_f(k2, pcom)
+    resp_f = jax.jit(lambda rc, ch: open_mod.create_response(rc, ch, params))
+    resp = resp_f(rctx, chal)
+    verify_f = jax.jit(lambda r, v: open_mod.verify(ck, r, v, params))
+
+    rows = [
+        ("open_proof_commit", commit_f, (k1, x)),
+        ("open_proof_generate_challenge", chal_f, (k2, pcom)),
+        ("open_proof_create_response", resp_f, (rctx, chal)),
+        ("open_proof_verify", verify_f, (resp, vctx)),
+    ]
+    for name, fn, fargs in rows:
+        dt = _time_fn(fn, fargs, iters)
+        print(
+            f"{name:32s} {dt / b * 1e9:12.1f} ns/proof "
+            f"({b / dt:12.1f} proofs/s batch={b})",
+            file=sys.stderr,
+        )
+
+
+if __name__ == "__main__":
+    main()
