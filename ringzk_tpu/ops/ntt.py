@@ -55,8 +55,12 @@ def _prime_tables(p: int, g: int, n: int):
 
     psi_rev[i]     = mont(psi^{bitrev(i)}),   psi a primitive 2n-th root
     psi_inv_rev[i] = mont(psi^{-bitrev(i)})
-    n_inv_scale    = N^{-1} * R^2 mod p  (folds the stray R^{-1} from the
-                     Montgomery pointwise product into the final scaling)
+    n_inv_scale    = N^{-1} * R mod p  (mont_mul by it applies 1/N and
+                     leaves plain-form values plain)
+
+    Also returns per-stage *lane-resident* twiddle planes for the roll-based
+    butterflies (see _fwd_one): w_fwd[s, i] = psi_rev[m + (i >> (logn - s))]
+    for forward stage s (m = 2^s groups), and the analogous inverse planes.
     """
     ctx = MontCtx.make(p)
     logn = n.bit_length() - 1
@@ -72,53 +76,65 @@ def _prime_tables(p: int, g: int, n: int):
         psi_inv_rev[i] = ctx.h_to_mont(pow(psi_inv, br, p))
     # N^{-1} * R: mont_mul by this both applies 1/N and leaves values plain
     n_inv_scale = (pow(n, -1, p) * pow(2, 32, p)) % p
-    return psi_rev, psi_inv_rev, n_inv_scale
+
+    lanes = np.arange(n)
+    w_fwd = np.empty((logn, n), dtype=np.uint32)
+    for s in range(logn):           # stage s: m = 2^s groups, t = n >> (s+1)
+        m = 1 << s
+        t = n >> (s + 1)
+        w_fwd[s] = psi_rev[m + (lanes >> (logn - s))]
+        assert (lanes >> (logn - s) == lanes // (2 * t)).all()
+    w_inv = np.empty((logn, n), dtype=np.uint32)
+    for s in range(logn):           # stage s: t = 2^s, h = n >> (s+1) groups
+        t = 1 << s
+        h = n >> (s + 1)
+        w_inv[s] = psi_inv_rev[h + (lanes >> (s + 1))]
+    return psi_rev, psi_inv_rev, n_inv_scale, w_fwd, w_inv
 
 
-def _fwd_one(ctx: MontCtx, psi_rev, x):
-    """Forward negacyclic NTT (Cooley-Tukey, natural in / bit-reversed out).
+def _partner_swap(x, t: int):
+    """x[i ^ t] along the lane axis via two static rolls + a select.
 
-    x: uint32 [..., N] in [0, p). Vectorized Longa-Naehrig iteration: at the
-    stage with m groups each group spans 2t = N/m contiguous coefficients.
+    Static rolls and elementwise selects keep the butterfly network fully
+    vectorized on TPU lanes -- no small-trailing-dim reshapes, no gathers --
+    so XLA fuses all log2(N) stages into one elementwise kernel.
     """
     n = x.shape[-1]
-    lead = x.shape[:-1]
-    m = 1
-    while m < n:
-        t = n // (2 * m)
-        xv = x.reshape(lead + (m, 2, t))
-        u = xv[..., 0, :]
-        w = psi_rev[m : 2 * m].reshape((m, 1))
-        v = ctx.mont_mul(xv[..., 1, :], w)
-        x = jnp.concatenate(
-            [ctx.add(u, v)[..., None, :], ctx.sub(u, v)[..., None, :]], axis=-2
-        ).reshape(lead + (n,))
-        m *= 2
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+    is_lo = (lane & jnp.uint32(t)) == 0
+    return jnp.where(is_lo, jnp.roll(x, -t, axis=-1), jnp.roll(x, t, axis=-1)), is_lo
+
+
+def _fwd_one(ctx: MontCtx, w_fwd, x):
+    """Forward negacyclic NTT (Cooley-Tukey, natural in / bit-reversed out).
+
+    x: uint32 [..., N] in [0, p). Roll-based butterflies: at stage s the
+    pair partner of lane i is i ^ t (t = N >> (s+1)); for lo lanes
+    new = x + w*x[partner], for hi lanes new = x[partner] - w*x.
+    w_fwd: [log2(N), N] per-lane twiddle planes (Montgomery form).
+    """
+    n = x.shape[-1]
+    logn = n.bit_length() - 1
+    for s in range(logn):
+        t = n >> (s + 1)
+        xs, is_lo = _partner_swap(x, t)
+        prod = ctx.mont_mul(w_fwd[s], jnp.where(is_lo, xs, x))
+        x = jnp.where(is_lo, ctx.add(x, prod), ctx.sub(xs, prod))
     return x
 
 
-def _inv_one(ctx: MontCtx, psi_inv_rev, n_inv_scale, x):
-    """Inverse negacyclic NTT (Gentleman-Sande, bit-reversed in / natural out).
-
-    Includes the N^{-1} * R^2 scaling, which also cancels the extra R^{-1}
-    picked up by the Montgomery pointwise multiply.
-    """
+def _inv_one(ctx: MontCtx, w_inv, n_inv_scale, x):
+    """Inverse negacyclic NTT (Gentleman-Sande, bit-reversed in / natural
+    out), fused N^{-1} scaling. At stage s (t = 2^s): lo lanes
+    new = x + x[partner]; hi lanes new = (x[partner] - x) * w."""
     n = x.shape[-1]
-    lead = x.shape[:-1]
-    t = 1
-    m = n
-    while m > 1:
-        h = m // 2
-        xv = x.reshape(lead + (h, 2, t))
-        u = xv[..., 0, :]
-        v = xv[..., 1, :]
-        w = psi_inv_rev[h : 2 * h].reshape((h, 1))
-        x = jnp.concatenate(
-            [ctx.add(u, v)[..., None, :], ctx.mont_mul(ctx.sub(u, v), w)[..., None, :]],
-            axis=-2,
-        ).reshape(lead + (n,))
-        t *= 2
-        m = h
+    logn = n.bit_length() - 1
+    for s in range(logn):
+        t = 1 << s
+        xs, is_lo = _partner_swap(x, t)
+        x = jnp.where(
+            is_lo, ctx.add(x, xs), ctx.mont_mul(w_inv[s], ctx.sub(xs, x))
+        )
     return ctx.mont_mul(x, jnp.uint32(n_inv_scale))
 
 
@@ -196,9 +212,9 @@ class RingContext:
         """
         outs = []
         for i, ctx in enumerate(self.mont):
-            psi_rev, _, _ = self._tables[i]
+            w_fwd = self._tables[i][3]
             xi = ctx.reduce_i32_centered(x)
-            outs.append(_fwd_one(ctx, jnp.asarray(psi_rev), xi))
+            outs.append(_fwd_one(ctx, jnp.asarray(w_fwd), xi))
         return jnp.stack(outs, axis=0)
 
     def fwd_const(self, x):
@@ -226,8 +242,8 @@ class RingContext:
         """
         ys = []
         for i, ctx in enumerate(self.mont):
-            _, psi_inv_rev, n_inv_scale = self._tables[i]
-            ys.append(_inv_one(ctx, jnp.asarray(psi_inv_rev), n_inv_scale, xhat[i]))
+            n_inv_scale, w_inv = self._tables[i][2], self._tables[i][4]
+            ys.append(_inv_one(ctx, jnp.asarray(w_inv), n_inv_scale, xhat[i]))
         return self._crt_to_centered(ys)
 
     def _crt_to_centered(self, ys):

@@ -1,0 +1,75 @@
+"""Cross-implementation vector replay (docs/INTEROP.md).
+
+Runs against any Rust-generated vectors dropped into tests/vectors/, and
+always against a self-generated vector (produced by our own pipeline, then
+replayed through the independent algebraic checker) so the harness itself is
+exercised in CI even with no Rust vectors present.
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import ringzk_tpu as rz
+from ringzk_tpu.ops import mat, sampling, zq
+from ringzk_tpu.ops.ntt import get_ring
+from ringzk_tpu.protocols import open as open_mod
+from ringzk_tpu.utils import testvectors
+
+VEC_DIR = os.path.join(os.path.dirname(__file__), "vectors")
+
+
+def _self_vector(n=16):
+    """Build an interchange vector from our own protocol run."""
+    params = rz.Params()
+    kk, kx, kp, kc = jax.random.split(jax.random.PRNGKey(7), 4)
+    ck = rz.keygen(kk, params, n)
+    x = jax.random.randint(kx, (params.l, n), -params.q, params.q + 1, dtype=jnp.int32)
+    rctx, pcom = open_mod.prover_commit(kp, ck, x, params)
+    vctx, chal = open_mod.generate_challenge(kc, pcom, params)
+    resp = open_mod.create_response(rctx, chal, params)
+    tol = lambda a: np.asarray(a).tolist()
+    return {
+        "n": n,
+        "params": {"q": params.q, "b": params.b, "n": params.n, "k": params.k,
+                   "l": params.l, "kappa": params.kappa, "modulus": params.modulus},
+        "ck": {"a1": tol(ck.a1), "a2": tol(ck.a2)},
+        "x": tol(x),
+        "r": tol(rctx.opening.r),
+        "y": tol(rctx.y),
+        "d": tol(chal.d),
+        "c": tol(pcom.c.c),
+        "t": tol(pcom.t),
+        "z": tol(resp.z),
+    }
+
+
+def test_self_vector_replays_exactly():
+    vec = _self_vector()
+    results = testvectors.check_rust_vector(vec)
+    assert all(results.values()), results
+
+
+def test_self_vector_detects_corruption():
+    vec = _self_vector()
+    vec["z"][0][0] += 1
+    results = testvectors.check_rust_vector(vec)
+    assert not results["z"]
+
+
+@pytest.mark.parametrize(
+    "path",
+    sorted(glob.glob(os.path.join(VEC_DIR, "*.json"))) or [None],
+)
+def test_rust_vectors(path):
+    if path is None:
+        pytest.skip("no Rust-generated vectors present (see docs/INTEROP.md)")
+    for vec in testvectors.load_vectors(path):
+        results = testvectors.check_rust_vector(vec)
+        assert all(results.values()), (path, results)
