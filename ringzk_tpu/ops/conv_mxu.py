@@ -1,0 +1,187 @@
+"""Negacyclic matrix-vector products on the MXU via balanced int8 digits.
+
+The hot ops of every protocol phase are matvecs against the *fixed*
+commitment key matrices: A.r (commit), a1.y / a1.z (proof phases), a2.y /
+a2.z (linear/sum). The CRT-NTT engine runs them on the VPU; this module
+instead maps them onto the TPU's systolic MXU, where int8 x int8 -> int32
+matmuls run at hundreds of TOPS:
+
+  * the key matrix A [rows, k, N] becomes a negacyclic block-circulant
+    operator W [k*N, rows*N] (column (row, j) is the negacyclic shift of
+    a[row, t, :]), decomposed once into balanced base-128 digits
+    (d in [-64, 63], 5 digits cover any centered residue);
+  * a batch of input vectors v [B, k, N] (small-bounded: ternary r needs 1
+    digit, Gaussian y / response z need 3) is digit-decomposed on device;
+  * out[dv, dw] = v_digits[dv] @ W_digits[dw] runs on the MXU with exact
+    int32 accumulation (|products| <= 64*64, contraction k*N <= 2^19 keeps
+    sums < 2^31);
+  * digit planes are grouped by total shift s = dv + dw (partial sums stay
+    int32-exact) and folded mod q with one Montgomery multiply per shift.
+
+The result equals ring.inv(matvec_hat(...)) bit-for-bit (tested in
+tests/test_conv_mxu.py) while moving ~90% of the arithmetic from the VPU to
+the MXU. Falls back to the NTT path for batched keys (operator is per-key)
+or when operand bounds exceed digit capacity -- see protocols.commit.
+
+Replaces the reference's `Mat::dot` O(N^2) schoolbook hot loop
+(/root/reference/src/mat.rs:95-115) -- same semantics, MXU-shaped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .montgomery import MontCtx
+from .ntt import RingContext
+
+RADIX_BITS = 7
+RADIX = 1 << RADIX_BITS            # 128: balanced digits in [-64, 63]
+KEY_DIGITS = 5                     # covers |centered residue| < 2^32
+
+
+def digits_for_bound(bound: int) -> int:
+    """Number of balanced base-128 digits covering |v| <= bound."""
+    d = 1
+    cap = RADIX // 2               # 64
+    while cap < bound:
+        cap = cap * RADIX + RADIX // 2
+        d += 1
+    return d
+
+
+def _balanced_digits_host(a: np.ndarray, ndig: int) -> np.ndarray:
+    """Host-side balanced digit decomposition -> [ndig, ...] int8."""
+    v = a.astype(object).copy()
+    out = np.empty((ndig,) + a.shape, np.int8)
+    for i in range(ndig):
+        d = ((v + RADIX // 2) % RADIX) - RADIX // 2
+        out[i] = d.astype(np.int8)
+        v = (v - d) // RADIX
+    assert (v == 0).all(), "digit capacity exceeded"
+    return out
+
+
+def balanced_digits(v, ndig: int):
+    """On-device balanced digit decomposition of int32 [...] -> [ndig, ...]
+    int8. Caller guarantees |v| fits ndig digits (clamp first if adversarial;
+    see protocols for the clamp-is-sound argument)."""
+    v = jnp.asarray(v, jnp.int32)
+    outs = []
+    half = jnp.int32(RADIX // 2)
+    for i in range(ndig):
+        if i == ndig - 1:
+            d = v
+        else:
+            d = jnp.mod(v + half, jnp.int32(RADIX)) - half
+        outs.append(d.astype(jnp.int8))
+        if i != ndig - 1:
+            v = (v - d) >> RADIX_BITS   # exact: v - d divisible by 128
+    return jnp.stack(outs, 0)
+
+
+class KeyOperator:
+    """Digitized negacyclic block-circulant operator for a fixed key matrix.
+
+    a: [rows, k, N] int32 centered -> W_digits: [KEY_DIGITS, k*N, rows*N]
+    int8 (host-precomputed, device-resident).
+    """
+
+    def __init__(self, a: np.ndarray, ring: RingContext):
+        a = np.asarray(a)
+        if a.ndim != 3:
+            raise ValueError(f"key operator needs [rows, k, N], got {a.shape}")
+        rows, k, n = a.shape
+        if k * n * (RADIX // 2) ** 2 >= 2**31:
+            raise ValueError("contraction too long for exact int32 accumulation")
+        self.rows, self.k, self.n = rows, k, n
+        self.ring = ring
+
+        # W[t*N + i, row*N + j] = sign * a[row, t, (j - i) mod N],
+        # sign = -1 where i > j (negacyclic wraparound x^N = -1)
+        i_idx = np.arange(n)[:, None]            # input coeff index
+        j_idx = np.arange(n)[None, :]            # output coeff index
+        shift = (j_idx - i_idx) % n              # [N, N]
+        sign = np.where(i_idx <= j_idx, 1, -1)   # [N, N]
+        # build [k*N, rows*N]
+        w = np.empty((k * n, rows * n), np.int64)
+        for t in range(k):
+            for row in range(rows):
+                blk = a[row, t][shift] * sign    # [N, N]
+                w[t * n : (t + 1) * n, row * n : (row + 1) * n] = blk
+        wd = _balanced_digits_host(w, KEY_DIGITS)          # [D, kN, rowsN]
+        # MXU-canonical layout: one [kN, D*rowsN] rhs so every digit of the
+        # key is covered by a single (B x kN) @ (kN x D*rowsN) matmul
+        self.w_digits = jnp.asarray(
+            np.transpose(wd, (1, 0, 2)).reshape(k * n, KEY_DIGITS * rows * n)
+        )
+
+    def matvec(self, v, v_digits: int):
+        """v: [..., k, N] int32 with |v| within v_digits capacity.
+        Returns centered int32 [..., rows, N] == (A . v) mod q."""
+        return matvec_digits(
+            self.ring, self.w_digits, self.rows, v, v_digits
+        )
+
+
+def matvec_digits(ring: RingContext, w_digits, rows: int, v, v_digits: int):
+    """Digit-matmul negacyclic matvec against a prebuilt [kN, D*rowsN]
+    int8 operator (see KeyOperator). Exact mod-q, centered int32 result."""
+    qc = ring.qctx
+    kn = w_digits.shape[0]
+    n = v.shape[-1]
+    batch = v.shape[:-2]
+    bflat = 1
+    for d in batch:
+        bflat *= d
+
+    vd = balanced_digits(v.reshape((bflat, kn)), v_digits)   # [dv, B, kN]
+    # single batched int8 matmul: [dv*B, kN] @ [kN, D*rowsN] -> int32
+    prod = jax.lax.dot_general(
+        vd.reshape(v_digits * bflat, kn),
+        w_digits,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(v_digits, bflat, KEY_DIGITS, rows * n)
+
+    # group planes by total shift s = dv + dw: partial sums stay int32-exact
+    n_shift = v_digits + KEY_DIGITS - 1
+    groups = [None] * n_shift
+    for dv in range(v_digits):
+        for dw in range(KEY_DIGITS):
+            s = dv + dw
+            p = prod[dv, :, dw]
+            groups[s] = p if groups[s] is None else groups[s] + p
+
+    # fold digit groups mod q: out = sum_s G_s * 128^s
+    acc = None
+    for s, g in enumerate(groups):
+        gu = qc.reduce_i32_centered(g)
+        term = qc.mont_mul(gu, jnp.uint32(_shift_mont(ring, s)))
+        acc = term if acc is None else qc.add(acc, term)
+    out = ring.to_centered(acc)
+    return out.reshape(batch + (rows, n))
+
+
+def _shift_mont(ring: RingContext, s: int) -> int:
+    """128^s * R mod q (host constant, cached on the ring)."""
+    cache = ring.__dict__.setdefault("_shift_mont_cache", {})
+    if s not in cache:
+        cache[s] = ring.qctx.h_to_mont(pow(RADIX, s, ring.q))
+    return cache[s]
+
+
+def digit_capacity(ndig: int) -> int:
+    """Max |v| exactly representable in ndig balanced base-128 digits."""
+    cap = RADIX // 2
+    for _ in range(ndig - 1):
+        cap = cap * RADIX + RADIX // 2
+    return cap
+
+
+def build_operator_digits(a: np.ndarray, ring: RingContext):
+    """[rows, k, N] int32 -> ([kN, D*rowsN] int8 jnp array, rows)."""
+    op = KeyOperator(np.asarray(a), ring)
+    return op.w_digits

@@ -177,53 +177,80 @@ class RingContext:
             _prime_tables(p, g, self.n) for p, g in zip(PRIMES, GENERATORS)
         )
 
-    @functools.cached_property
-    def _garner(self):
-        """Constants for Garner mixed-radix CRT + final mod-q fold."""
-        p0, p1, p2 = PRIMES
-        c01 = pow(p0, -1, p1)            # p0^{-1} mod p1
-        c012 = pow(p0 * p1, -1, p2)      # (p0*p1)^{-1} mod p2
-        half = (p0 * p1 * p2) // 2       # floor(M/2)
-        h0 = half % p0
-        h1 = (half // p0) % p1
-        h2 = half // (p0 * p1)
+    def _garner(self, num: int):
+        """Constants for Garner mixed-radix CRT over the first ``num`` primes
+        + final mod-q fold. Cached per subset size."""
+        cache = self.__dict__.setdefault("_garner_cache", {})
+        if num in cache:
+            return cache[num]
+        ps = PRIMES[:num]
+        prod = 1
+        for p in ps:
+            prod *= p
+        half = prod // 2
         q = self.q
-        return dict(
-            c01_mont=MontCtx.make(p1).h_to_mont(c01),
-            c012_mont=MontCtx.make(p2).h_to_mont(c012),
-            k1_mont=self.qctx.h_to_mont(p0 % q),          # p0 mod q
-            k2_mont=self.qctx.h_to_mont((p0 * p1) % q),   # p0*p1 mod q
-            m_mod_q=(p0 * p1 * p2) % q,
-            half_digits=(h0, h1, h2),
+        c_mont = []      # ((prod of earlier primes)^{-1} mod p_i) in mont form
+        k_mont = []      # (prod of earlier primes mod q) in mont form
+        half_digits = []
+        acc = 1
+        rem = half
+        for i, p in enumerate(ps):
+            if i > 0:
+                c_mont.append(MontCtx.make(p).h_to_mont(pow(acc, -1, p)))
+                k_mont.append(self.qctx.h_to_mont(acc % q))
+            half_digits.append(rem % p)
+            rem //= p
+            acc *= p
+        out = dict(
+            c_mont=c_mont,
+            k_mont=k_mont,
+            m_mod_q=prod % q,
+            half_digits=tuple(half_digits),
         )
+        cache[num] = out
+        return out
 
     # ------------------------------------------------------------------
     # Forward / inverse transforms
     # ------------------------------------------------------------------
 
-    def fwd(self, x):
-        """Centered int32 [..., N] -> plain NTT domain uint32 [P, ..., N].
+    def fwd(self, x, num: int = NUM_PRIMES):
+        """Centered int32 [..., N] -> plain NTT domain uint32 [num, ..., N].
 
         Form discipline: *data* arrays stay in plain residue form; anything
         that multiplies data (keys, challenges d, scalars g, factors f) must
         be transformed with :meth:`fwd_const` instead, so every
         ``dot_hat(const, data)`` Montgomery product lands back in plain form
         and :meth:`inv` needs no correction factor.
+
+        ``num`` selects a CRT prime subset for cheap products with small
+        exact bounds (e.g. d*r with ternary operands fits one prime). The
+        caller must guarantee |integer coeff| < prod(PRIMES[:num]) / 2; use
+        :meth:`primes_needed` to pick num from a bound.
         """
         outs = []
-        for i, ctx in enumerate(self.mont):
+        for i in range(num):
+            ctx = self.mont[i]
             w_fwd = self._tables[i][3]
             xi = ctx.reduce_i32_centered(x)
             outs.append(_fwd_one(ctx, jnp.asarray(w_fwd), xi))
         return jnp.stack(outs, axis=0)
 
-    def fwd_const(self, x):
+    def fwd_const(self, x, num: int = NUM_PRIMES):
         """fwd() then per-prime to-Montgomery: the required form for the
         multiplicative operand of dot_hat/scalar muls."""
-        h = self.fwd(x)
-        return jnp.stack(
-            [self.mont[i].to_mont(h[i]) for i in range(NUM_PRIMES)], axis=0
-        )
+        h = self.fwd(x, num)
+        return jnp.stack([self.mont[i].to_mont(h[i]) for i in range(num)], axis=0)
+
+    @staticmethod
+    def primes_needed(bound: int) -> int:
+        """Smallest prime-subset size whose CRT range covers |coeff| <= bound."""
+        prod = 1
+        for i, p in enumerate(PRIMES):
+            prod *= p
+            if prod > 2 * bound:
+                return i + 1
+        raise ValueError(f"bound 2^{bound.bit_length()} exceeds full CRT range")
 
     def inv(self, xhat):
         """Plain NTT domain uint32 [P, ..., N] -> centered int32 [..., N].
@@ -240,37 +267,46 @@ class RingContext:
         product like g*(A.y) must reduce the inner product mod q (inv + fwd)
         before the outer multiply, or reconstruction silently wraps mod M.
         """
+        num = xhat.shape[0]
         ys = []
-        for i, ctx in enumerate(self.mont):
+        for i in range(num):
+            ctx = self.mont[i]
             n_inv_scale, w_inv = self._tables[i][2], self._tables[i][4]
             ys.append(_inv_one(ctx, jnp.asarray(w_inv), n_inv_scale, xhat[i]))
         return self._crt_to_centered(ys)
 
     def _crt_to_centered(self, ys):
-        """Garner reconstruction of [y mod p_i] -> centered int32 mod q."""
-        g = self._garner
-        m0, m1, m2 = self.mont
-        y0, y1, y2 = ys
-        # mixed-radix digits: x = v0 + v1*p0 + v2*p0*p1, 0 <= v_i < p_i
-        v0 = y0
-        v1 = m1.mont_mul(m1.sub(y1, m1.reduce_u32(v0)), jnp.uint32(g["c01_mont"]))
-        t2 = m2.sub(y2, m2.reduce_u32(v0))
-        v1_mod_p2 = m2.reduce_u32(v1)
-        p0_mont_p2 = jnp.uint32(m2.h_to_mont(PRIMES[0] % PRIMES[2]))
-        t2 = m2.sub(t2, m2.mont_mul(v1_mod_p2, p0_mont_p2))
-        v2 = m2.mont_mul(t2, jnp.uint32(g["c012_mont"]))
+        """Garner reconstruction of [y mod p_i] -> centered int32 mod q,
+        for any prime-subset size len(ys) in 1..NUM_PRIMES."""
+        num = len(ys)
+        g = self._garner(num)
+        # mixed-radix digits: x = v0 + v1*p0 + v2*p0*p1 + ..., 0 <= v_i < p_i
+        vs = [ys[0]]
+        for i in range(1, num):
+            mi = self.mont[i]
+            # t = (y_i - (v0 + v1*p0 + ...)) * (p0*...*p_{i-1})^{-1} mod p_i
+            t = mi.sub(ys[i], mi.reduce_u32(vs[0]))
+            acc_prod = 1
+            for j in range(1, i):
+                acc_prod *= PRIMES[j - 1]
+                pj_mont = jnp.uint32(mi.h_to_mont(acc_prod % mi.p))
+                t = mi.sub(t, mi.mont_mul(mi.reduce_u32(vs[j]), pj_mont))
+            vs.append(mi.mont_mul(t, jnp.uint32(g["c_mont"][i - 1])))
 
-        # signed centering: x > floor(M/2)  <=>  (v2,v1,v0) > (h2,h1,h0) lexicographic
-        h0, h1, h2 = (jnp.uint32(h) for h in g["half_digits"])
-        gt = (v2 > h2) | (
-            (v2 == h2) & ((v1 > h1) | ((v1 == h1) & (v0 > h0)))
-        )
+        # signed centering: x > floor(M/2)  <=>  digits > half_digits (lex,
+        # most significant digit last)
+        hs = [jnp.uint32(h) for h in g["half_digits"]]
+        gt = vs[-1] > hs[-1]
+        eq = vs[-1] == hs[-1]
+        for i in range(num - 2, -1, -1):
+            gt = gt | (eq & (vs[i] > hs[i]))
+            eq = eq & (vs[i] == hs[i])
 
-        # x mod q = v0 + v1*(p0 mod q) + v2*(p0p1 mod q) - [x>M/2]*(M mod q)
+        # x mod q = sum_i v_i * (prod_{j<i} p_j mod q)  -  [x>M/2]*(M mod q)
         qc = self.qctx
-        acc = qc.reduce_u32(v0)
-        acc = qc.add(acc, qc.mont_mul(v1, jnp.uint32(g["k1_mont"])))
-        acc = qc.add(acc, qc.mont_mul(v2, jnp.uint32(g["k2_mont"])))
+        acc = qc.reduce_u32(vs[0])
+        for i in range(1, num):
+            acc = qc.add(acc, qc.mont_mul(vs[i], jnp.uint32(g["k_mont"][i - 1])))
         acc = qc.sub(acc, jnp.where(gt, jnp.uint32(g["m_mod_q"]), jnp.uint32(0)))
         return self.to_centered(acc)
 
@@ -288,16 +324,20 @@ class RingContext:
 
     def dot_hat(self, a, b):
         """Pointwise product; exactly one operand must be in const
-        (Montgomery) form, the result is in plain form."""
+        (Montgomery) form, the result is in plain form. Operands must share
+        the same prime-subset size (leading axis)."""
+        assert a.shape[0] == b.shape[0], (a.shape, b.shape)
         return jnp.stack(
-            [self.mont[i].mont_mul(a[i], b[i]) for i in range(NUM_PRIMES)], 0
+            [self.mont[i].mont_mul(a[i], b[i]) for i in range(a.shape[0])], 0
         )
 
     def add_hat(self, a, b):
-        return jnp.stack([self.mont[i].add(a[i], b[i]) for i in range(NUM_PRIMES)], 0)
+        assert a.shape[0] == b.shape[0], (a.shape, b.shape)
+        return jnp.stack([self.mont[i].add(a[i], b[i]) for i in range(a.shape[0])], 0)
 
     def sub_hat(self, a, b):
-        return jnp.stack([self.mont[i].sub(a[i], b[i]) for i in range(NUM_PRIMES)], 0)
+        assert a.shape[0] == b.shape[0], (a.shape, b.shape)
+        return jnp.stack([self.mont[i].sub(a[i], b[i]) for i in range(a.shape[0])], 0)
 
     def sum_hat(self, a, axis):
         """addmod-reduce along a (small, static) axis of an NTT-domain array.
@@ -308,11 +348,12 @@ class RingContext:
         axis = axis % a.ndim
         assert axis != 0, "cannot reduce the prime axis"
         size = a.shape[axis]
+        num = a.shape[0]
         out = jax.lax.index_in_dim(a, 0, axis, keepdims=False)
         for j in range(1, size):
             nxt = jax.lax.index_in_dim(a, j, axis, keepdims=False)
             out = jnp.stack(
-                [self.mont[i].add(out[i], nxt[i]) for i in range(NUM_PRIMES)], 0
+                [self.mont[i].add(out[i], nxt[i]) for i in range(num)], 0
             )
         return out
 

@@ -1,0 +1,116 @@
+"""MXU digit-matmul matvec must agree bit-for-bit with the NTT path, and
+prime-subset NTT products must stay exact within their declared bounds."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ringzk_tpu.ops import conv_mxu, mat, ntt
+
+Q = 3_515_337_053
+
+
+@pytest.fixture(scope="module")
+def ring():
+    return ntt.get_ring(64, Q)
+
+
+def _rand_key_matrix(rng, rows, k, n):
+    return rng.integers(-(Q // 2), Q // 2 + 1, size=(rows, k, n)).astype(np.int64)
+
+
+def _ntt_matvec(ring, a, v):
+    a_hat = ring.fwd_const(jnp.asarray(a, jnp.int32))
+    v_hat = ring.fwd(jnp.asarray(v, jnp.int32))
+    return np.asarray(ring.inv(mat.matvec_hat(ring, a_hat, v_hat)))
+
+
+def test_balanced_digits_roundtrip(rng):
+    v = rng.integers(-(2**20), 2**20, size=(4, 32)).astype(np.int32)
+    nd = conv_mxu.digits_for_bound(2**20)
+    d = np.asarray(conv_mxu.balanced_digits(jnp.asarray(v), nd)).astype(np.int64)
+    recon = sum(d[i] * 128**i for i in range(nd))
+    np.testing.assert_array_equal(recon, v)
+
+
+def test_digit_capacity_consistent():
+    for nd in range(1, 6):
+        cap = conv_mxu.digit_capacity(nd)
+        assert conv_mxu.digits_for_bound(cap) == nd
+        assert conv_mxu.digits_for_bound(cap + 1) == nd + 1
+
+
+@pytest.mark.parametrize("v_bound,rows", [(1, 2), (1_400_000, 1), (2**20, 2)])
+def test_mxu_matvec_matches_ntt(ring, rng, v_bound, rows):
+    n, k = 64, 3
+    a = _rand_key_matrix(rng, rows, k, n)
+    op = conv_mxu.KeyOperator(a, ring)
+    v = rng.integers(-v_bound, v_bound + 1, size=(5, k, n)).astype(np.int32)
+    nd = conv_mxu.digits_for_bound(v_bound)
+    got = np.asarray(op.matvec(jnp.asarray(v), nd))
+    want = _ntt_matvec(ring, a, v)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mxu_matvec_full_range_key_small_v(ring, rng):
+    """Extreme key values with ternary v (the commit path)."""
+    n, k = 64, 3
+    a = np.full((2, k, n), Q // 2, dtype=np.int64)
+    a[0, 0, 0] = -(Q // 2)
+    op = conv_mxu.KeyOperator(a, ring)
+    v = rng.integers(-1, 2, size=(3, k, n)).astype(np.int32)
+    got = np.asarray(op.matvec(jnp.asarray(v), 1))
+    want = _ntt_matvec(ring, a, v)
+    np.testing.assert_array_equal(got, want)
+
+
+# -- prime-subset NTT --------------------------------------------------------
+
+
+def test_primes_needed():
+    assert ntt.RingContext.primes_needed(36) == 1
+    assert ntt.RingContext.primes_needed(2**36) == 2
+    assert ntt.RingContext.primes_needed(2**70) == 3
+
+
+@pytest.mark.parametrize("num", [1, 2, 3])
+def test_subset_prime_product_exact(ring, rng, num):
+    """Products whose integer coefficients fit the subset range must be
+    exact with fewer primes."""
+    n = 64
+    # pick operand bounds so that the conv bound n*b1*b2 fits num primes
+    prod = 1
+    for p in ntt.PRIMES[:num]:
+        prod *= p
+    b2 = 1
+    b1 = min(Q // 2, (prod // 2) // (n * b2) - 1)
+    a = rng.integers(-b1, b1 + 1, size=(3, n)).astype(np.int64)
+    b = rng.integers(-b2, b2 + 1, size=(3, n)).astype(np.int64)
+    ah = ring.fwd_const(jnp.asarray(a, jnp.int32), num)
+    bh = ring.fwd(jnp.asarray(b, jnp.int32), num)
+    got = np.asarray(ring.inv(ring.dot_hat(ah, bh)))
+    want = ntt.negacyclic_schoolbook(a, b, Q)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_subset_prime_add_mixed_magnitude(ring, rng):
+    """t + c1*d with arbitrary-int32 t and kappa-sparse d fits 2 primes."""
+    n = 64
+    kappa = 36
+    t = rng.integers(-(2**31), 2**31, size=(2, n)).astype(np.int64)
+    c1 = rng.integers(-(Q // 2), Q // 2 + 1, size=(2, n)).astype(np.int64)
+    d = np.zeros((2, n), np.int64)
+    d[:, :kappa] = rng.choice([-1, 1], size=(2, kappa))
+    d_hat = ring.fwd_const(jnp.asarray(d, jnp.int32), 2)
+    rhs = ring.inv(
+        ring.add_hat(
+            ring.fwd(jnp.asarray(t, jnp.int32), 2),
+            ring.dot_hat(d_hat, ring.fwd(jnp.asarray(c1, jnp.int32), 2)),
+        )
+    )
+    want = ntt.negacyclic_schoolbook(d, c1, Q).astype(object)
+    want = (want + t.astype(object)) % Q
+    want = np.where(want > Q // 2, want - Q, want)
+    np.testing.assert_array_equal(np.asarray(rhs).astype(object), want)
