@@ -23,20 +23,29 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ..ops import mat, norms, sampling
+from ..ops import conv_mxu, mat, norms, sampling
 from ..ops.ntt import RingContext, get_ring
 from ..params import Params
+
+# Largest ring degree for which the digitized MXU key operator is built
+# (memory is KEY_DIGITS * kN * (n+l)N int8 ~ 126 MB at N=2048).
+MXU_MAX_N = 2048
 
 
 class CommitmentKey(NamedTuple):
     """a1: [..., n, k, N], a2: [..., l, k, N] int32; *_hat: NTT-domain
-    uint32 caches with leading prime axis [P, ..., rows, k, N]."""
+    uint32 caches with leading prime axis [P, ..., rows, k, N]; *_dig:
+    optional MXU digit operators [kN, D*rowsN] int8 (None for batched keys
+    or large N -- the NTT path is used then; see ops/conv_mxu.py)."""
 
     a1: jax.Array
     a2: jax.Array
     a1_hat: jax.Array
     a2_hat: jax.Array
+    a1_dig: Optional[jax.Array] = None
+    a2_dig: Optional[jax.Array] = None
 
     @property
     def n_deg(self) -> int:
@@ -93,10 +102,48 @@ def keygen(key, params: Params, n_deg: int, batch_shape=()) -> CommitmentKey:
     i_l = jnp.broadcast_to(eye_poly(l), batch_shape + (l, l, n_deg))
     a2 = jnp.concatenate([z_ln, i_l, a2p], axis=-2)
 
+    # MXU digit operators: only for a single concrete key of moderate N
+    # (per-key host preprocessing; batched keys use the NTT path)
+    a1_dig = a2_dig = None
+    if (
+        batch_shape == ()
+        and n_deg <= MXU_MAX_N
+        and k * n_deg * (conv_mxu.RADIX // 2) ** 2 < 2**31
+    ):
+        a1_dig = conv_mxu.KeyOperator(np.asarray(a1), ring).w_digits
+        a2_dig = conv_mxu.KeyOperator(np.asarray(a2), ring).w_digits
+
     # keys are multiplicative constants -> cached in const (Montgomery) form
     return CommitmentKey(
-        a1=a1, a2=a2, a1_hat=ring.fwd_const(a1), a2_hat=ring.fwd_const(a2)
+        a1=a1, a2=a2, a1_hat=ring.fwd_const(a1), a2_hat=ring.fwd_const(a2),
+        a1_dig=a1_dig, a2_dig=a2_dig,
     )
+
+
+def matvec_key(ring: RingContext, ck: CommitmentKey, which: str, v, bound: int):
+    """(key-matrix . v) mod q -> centered int32 [..., rows, N].
+
+    which: 'a1', 'a2', or 'a' ([a1; a2] row-stacked). ``bound`` is a static
+    exact bound on |v| coefficients, used to size the MXU digit
+    decomposition; v is clamped to it first. Clamping is sound at every call
+    site: honest inputs respect the bound by construction (b-bounded r,
+    clamped Gaussian y), and adversarial inputs exceeding it already fail
+    the norm checks, making the algebra result irrelevant to the verdict.
+    Falls back to the exact NTT path (no clamp needed there) when the key
+    has no digit operator (batched keys / large N).
+    """
+    if which == "a":
+        lhs1 = matvec_key(ring, ck, "a1", v, bound)
+        lhs2 = matvec_key(ring, ck, "a2", v, bound)
+        return jnp.concatenate([lhs1, lhs2], axis=-2)
+    dig = ck.a1_dig if which == "a1" else ck.a2_dig
+    rows = (ck.a1 if which == "a1" else ck.a2).shape[-3]
+    ndig = conv_mxu.digits_for_bound(bound)
+    if dig is not None and ndig <= conv_mxu.KEY_DIGITS:
+        vc = jnp.clip(v, -bound, bound)
+        return conv_mxu.matvec_digits(ring, dig, rows, vc, ndig)
+    a_hat = ck.a1_hat if which == "a1" else ck.a2_hat
+    return ring.inv(mat.matvec_hat(ring, a_hat, ring.fwd(v)))
 
 
 def commit_ok(params: Params, n_deg: int, r) -> jax.Array:
@@ -140,11 +187,11 @@ def _zero_pad_rows(x, n_rows: int):
 
 
 def _commit_value(ring: RingContext, ck: CommitmentKey, x, r, params: Params):
-    """c = [a1; a2] . r + [0_n; x], computed in one NTT round trip (the
-    [0_n; x] term is added in the NTT domain: both sides are plain-form)."""
-    ar_hat = mat.matvec_hat(ring, ck.a_hat(), ring.fwd(r))  # [P, ..., n+l, N]
-    z_hat = ring.fwd(_zero_pad_rows(x, params.n))
-    return ring.inv(ring.add_hat(ar_hat, z_hat))
+    """c = [a1; a2] . r + [0_n; x]. Honest r has |coeffs| <= b."""
+    from ..ops import zq
+
+    ar = matvec_key(ring, ck, "a", r, params.b)
+    return zq.add_centered(ring.qctx, ar, _zero_pad_rows(x, params.n))
 
 
 def verify(ck: CommitmentKey, com: Commitment, opening: Opening, params: Params):
@@ -156,15 +203,21 @@ def verify(ck: CommitmentKey, com: Commitment, opening: Opening, params: Params)
     n_deg = x.shape[-1]
     ring = get_ring(n_deg, params.modulus)
 
+    from ..ops import zq
+
     ok = commit_ok(params, n_deg, r)
 
-    ar_hat = mat.matvec_hat(ring, ck.a_hat(), ring.fwd(r))
+    # adversarial r: clamp bound = the commit constraint itself (a passing r
+    # has every |coeff| <= norm_2 <= 4 sigma sqrt(N); a failing r rejects
+    # regardless of the algebra)
+    ar = matvec_key(ring, ck, "a", r, params.commit_bound(n_deg))
     zfull = _zero_pad_rows(x, params.n)
     if f is None:
-        rhs_hat = ring.add_hat(ar_hat, ring.fwd(zfull))
-        lhs_hat = ring.fwd(com.c)
+        rhs = zq.add_centered(ring.qctx, ar, zfull)
+        lhs = com.c
     else:
         f_hat = ring.fwd_const(f)
-        rhs_hat = ring.add_hat(ar_hat, mat.scalar_mul_hat(ring, f_hat, ring.fwd(zfull)))
-        lhs_hat = mat.scalar_mul_hat(ring, f_hat, ring.fwd(com.c))
-    return ok & mat.equal_mod_q_hat(ring, lhs_hat, rhs_hat, struct_axes=1)
+        fz = ring.inv(mat.scalar_mul_hat(ring, f_hat, ring.fwd(zfull)))
+        rhs = zq.add_centered(ring.qctx, ar, fz)
+        lhs = ring.inv(mat.scalar_mul_hat(ring, f_hat, ring.fwd(com.c)))
+    return ok & mat.poly_equal(lhs, rhs, struct_axes=1)

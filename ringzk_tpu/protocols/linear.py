@@ -21,7 +21,8 @@ import jax
 from ..ops import mat, sampling, zq
 from ..ops.ntt import get_ring
 from ..params import Params
-from .commit import Commitment, CommitmentKey, Opening, commit, verify_ok
+from .commit import Commitment, CommitmentKey, Opening, commit, matvec_key, verify_ok
+from .open import gaussian_bound, sample_y
 
 
 class LinearProofResponseContext(NamedTuple):
@@ -79,24 +80,21 @@ def prover_commit(key, ck: CommitmentKey, g, x, params: Params):
     opening_p, cp = commit(k_cp, ck, gx, params)
     opening, c = commit(k_c, ck, x, params)
 
-    sigma = params.standard_deviation(n_deg)
     batch = x.shape[:-2]
-    y = sampling.gaussian_rounded(k_y, batch + (params.k,), n_deg, sigma)
-    yp = sampling.gaussian_rounded(k_yp, batch + (params.k,), n_deg, sigma)
+    gbound = gaussian_bound(params, n_deg)
+    y = sample_y(k_y, params, n_deg, batch)
+    yp = sample_y(k_yp, params, n_deg, batch)
 
-    y_hat = ring.fwd(y)
-    yp_hat = ring.fwd(yp)
-    t = ring.inv(mat.matvec_hat(ring, ck.a1_hat, y_hat))
-    tp = ring.inv(mat.matvec_hat(ring, ck.a1_hat, yp_hat))
-    # u = g*(a2.y) - a2.yp. Depth-one rule (see RingContext.inv): a2.y must
-    # be reduced mod q before the second multiplication by g, else the exact
-    # integer coefficients exceed the CRT range.
-    a2y = ring.inv(mat.matvec_hat(ring, ck.a2_hat, y_hat))
-    u = ring.inv(
-        ring.sub_hat(
-            mat.scalar_mul_hat(ring, g_hat, ring.fwd(a2y)),
-            mat.matvec_hat(ring, ck.a2_hat, yp_hat),
-        )
+    t = matvec_key(ring, ck, "a1", y, gbound)
+    tp = matvec_key(ring, ck, "a1", yp, gbound)
+    # u = g*(a2.y) - a2.yp. Depth-one rule (see RingContext.inv): a2.y is a
+    # reduced mod-q value before the second multiplication by g.
+    a2y = matvec_key(ring, ck, "a2", y, gbound)
+    a2yp = matvec_key(ring, ck, "a2", yp, gbound)
+    u = zq.sub_centered(
+        ring.qctx,
+        ring.inv(mat.scalar_mul_hat(ring, g_hat, ring.fwd(a2y))),
+        a2yp,
     )
 
     return (
@@ -128,9 +126,10 @@ def create_response(
     z = y + d*r, zp = yp + d*rp."""
     n_deg = ctx.y.shape[-1]
     ring = get_ring(n_deg, params.modulus)
-    d_hat = ring.fwd_const(challenge.d)
-    dr = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(ctx.opening.r)))
-    drp = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(ctx.opening_p.r)))
+    num = ring.primes_needed(min(params.kappa, n_deg) * params.b)
+    d_hat = ring.fwd_const(challenge.d, num)
+    dr = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(ctx.opening.r, num)))
+    drp = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(ctx.opening_p.r, num)))
     return LinearProofResponse(
         z=zq.add_centered(ring.qctx, ctx.y, dr),
         zp=zq.add_centered(ring.qctx, ctx.yp, drp),
@@ -149,45 +148,51 @@ def verify(
     ring = get_ring(n_deg, params.modulus)
 
     ok = verify_ok(params, n_deg, z) & verify_ok(params, n_deg, zp)
+    vbound = params.verify_bound(n_deg)
 
-    d_hat = ring.fwd_const(vctx.d)
     g_hat = ring.fwd_const(vctx.g)
-    z_hat = ring.fwd(z)
-    zp_hat = ring.fwd(zp)
+    # t + c1*d terms: wire values are int32, d is kappa-sparse ternary
+    num_d = ring.primes_needed((min(params.kappa, n_deg) + 1) * 2**31)
+    d_hat = ring.fwd_const(vctx.d, num_d)
 
-    # a1.z == t + c1*d
-    eq1 = mat.equal_mod_q_hat(
-        ring,
-        mat.matvec_hat(ring, ck.a1_hat, z_hat),
-        ring.add_hat(
-            ring.fwd(vctx.t), mat.scalar_mul_hat(ring, d_hat, ring.fwd(vctx.c1))
-        ),
+    def t_plus_c1d(t, c1):
+        return ring.inv(
+            ring.add_hat(
+                ring.fwd(t, num_d),
+                mat.scalar_mul_hat(ring, d_hat, ring.fwd(c1, num_d)),
+            )
+        )
+
+    # a1.z == t + c1*d ; a1.zp == tp + c1p*d
+    eq1 = mat.poly_equal(
+        matvec_key(ring, ck, "a1", z, vbound), t_plus_c1d(vctx.t, vctx.c1),
+        struct_axes=1,
     )
-    # a1.zp == tp + c1p*d
-    eq2 = mat.equal_mod_q_hat(
-        ring,
-        mat.matvec_hat(ring, ck.a1_hat, zp_hat),
-        ring.add_hat(
-            ring.fwd(vctx.tp), mat.scalar_mul_hat(ring, d_hat, ring.fwd(vctx.c1p))
-        ),
+    eq2 = mat.poly_equal(
+        matvec_key(ring, ck, "a1", zp, vbound), t_plus_c1d(vctx.tp, vctx.c1p),
+        struct_axes=1,
     )
     # g*(a2.z) - a2.zp == (g*c2 - c2p)*d + u
     # Depth-one rule: reduce a2.z mod q before multiplying by g, and reduce
     # (g*c2 - c2p) mod q before multiplying by d.
-    a2z = ring.inv(mat.matvec_hat(ring, ck.a2_hat, z_hat))
-    lhs = ring.sub_hat(
-        mat.scalar_mul_hat(ring, g_hat, ring.fwd(a2z)),
-        mat.matvec_hat(ring, ck.a2_hat, zp_hat),
+    a2z = matvec_key(ring, ck, "a2", z, vbound)
+    a2zp = matvec_key(ring, ck, "a2", zp, vbound)
+    lhs = zq.sub_centered(
+        ring.qctx,
+        ring.inv(mat.scalar_mul_hat(ring, g_hat, ring.fwd(a2z))),
+        a2zp,
     )
     gc2_c2p = ring.inv(
         ring.sub_hat(
             mat.scalar_mul_hat(ring, g_hat, ring.fwd(vctx.c2)), ring.fwd(vctx.c2p)
         )
     )
-    rhs = ring.add_hat(
-        mat.scalar_mul_hat(ring, d_hat, ring.fwd(gc2_c2p)), ring.fwd(vctx.u)
+    rhs = zq.add_centered(
+        ring.qctx,
+        ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(gc2_c2p, num_d))),
+        vctx.u,
     )
-    eq3 = mat.equal_mod_q_hat(ring, lhs, rhs)
+    eq3 = mat.poly_equal(lhs, rhs, struct_axes=1)
 
     return ok & eq1 & eq2 & eq3
 

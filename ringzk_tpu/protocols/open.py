@@ -25,7 +25,30 @@ import jax.numpy as jnp
 from ..ops import mat, sampling, zq
 from ..ops.ntt import get_ring
 from ..params import Params
-from .commit import Commitment, CommitmentKey, Opening, commit, verify_ok
+from .commit import (
+    Commitment,
+    CommitmentKey,
+    Opening,
+    commit,
+    matvec_key,
+    verify_ok,
+)
+
+
+def gaussian_bound(params: Params, n_deg: int) -> int:
+    """Static clamp bound for prover Gaussians: 16 sigma. A float32 N(0,1)
+    draw exceeding 16 sigma has probability < 1e-56 -- the clamp never fires
+    in practice (it exists to give the MXU digit decomposition a static
+    bound) and leaves the sampler's distribution indistinguishable from the
+    reference's unclamped one."""
+    return 16 * params.standard_deviation(n_deg)
+
+
+def sample_y(key, params: Params, n_deg: int, batch_shape):
+    sigma = params.standard_deviation(n_deg)
+    y = sampling.gaussian_rounded(key, batch_shape + (params.k,), n_deg, sigma)
+    b = gaussian_bound(params, n_deg)
+    return jnp.clip(y, -b, b)
 
 
 class OpenProofResponseContext(NamedTuple):
@@ -70,9 +93,8 @@ def prover_commit(key, ck: CommitmentKey, x, params: Params):
     k_com, k_y = jax.random.split(key)
 
     opening, c = commit(k_com, ck, x, params)
-    sigma = params.standard_deviation(n_deg)
-    y = sampling.gaussian_rounded(k_y, x.shape[:-2] + (params.k,), n_deg, sigma)
-    t = ring.inv(mat.matvec_hat(ring, ck.a1_hat, ring.fwd(y)))
+    y = sample_y(k_y, params, n_deg, x.shape[:-2])
+    t = matvec_key(ring, ck, "a1", y, gaussian_bound(params, n_deg))
     return (
         OpenProofResponseContext(opening=opening, y=y),
         OpenProofCommitment(c=c, t=t),
@@ -102,8 +124,11 @@ def create_response(
     """
     n_deg = ctx.y.shape[-1]
     ring = get_ring(n_deg, params.modulus)
-    d_hat = ring.fwd_const(challenge.d)
-    dr = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(ctx.opening.r)))
+    # d*r has |integer coeffs| <= min(kappa, N) * b: a small-bound product,
+    # so a CRT prime subset (usually a single prime) suffices exactly
+    num = ring.primes_needed(min(params.kappa, n_deg) * params.b)
+    d_hat = ring.fwd_const(challenge.d, num)
+    dr = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(ctx.opening.r, num)))
     z = zq.add_centered(ring.qctx, ctx.y, dr)
     return OpenProofResponse(z=z)
 
@@ -122,12 +147,21 @@ def verify(
 
     ok_norm = verify_ok(params, n_deg, z)
 
-    lhs_hat = mat.matvec_hat(ring, ck.a1_hat, ring.fwd(z))
-    d_hat = ring.fwd_const(vctx.d)
-    rhs_hat = ring.add_hat(
-        ring.fwd(vctx.t), mat.scalar_mul_hat(ring, d_hat, ring.fwd(vctx.c1))
+    # a1.z with z clamped to the verify bound (any passing z has every
+    # |coeff| <= norm_2 <= 2 sigma sqrt(N); a failing z rejects regardless)
+    lhs = matvec_key(ring, ck, "a1", z, params.verify_bound(n_deg))
+    # t + c1*d: c1 and t are arbitrary int32 from the wire, d is
+    # kappa-sparse ternary -> |integer coeffs| <= 2^31 + min(kappa,N)*2^31,
+    # comfortably inside a 2-prime subset
+    num = ring.primes_needed((min(params.kappa, n_deg) + 1) * 2**31)
+    d_hat = ring.fwd_const(vctx.d, num)
+    rhs = ring.inv(
+        ring.add_hat(
+            ring.fwd(vctx.t, num),
+            mat.scalar_mul_hat(ring, d_hat, ring.fwd(vctx.c1, num)),
+        )
     )
-    return ok_norm & mat.equal_mod_q_hat(ring, lhs_hat, rhs_hat, struct_axes=1)
+    return ok_norm & mat.poly_equal(lhs, rhs, struct_axes=1)
 
 
 def roundtrip(key, ck: CommitmentKey, x, params: Params):

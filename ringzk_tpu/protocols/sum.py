@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from ..ops import mat, sampling, zq
 from ..ops.ntt import get_ring
 from ..params import Params
-from .commit import Commitment, CommitmentKey, Opening, commit, verify_ok
+from .commit import Commitment, CommitmentKey, Opening, commit, matvec_key, verify_ok
+from .open import gaussian_bound, sample_y
 
 
 class SumProofResponseContext(NamedTuple):
@@ -107,21 +108,18 @@ def prover_commit(key, ck: CommitmentKey, gs, xs, params: Params):
     opening_p, cp = commit(k_cp, ck, xp, params)
     openings, cs = commit(k_cs, ck, xs, params)  # batched over V
 
-    sigma = params.standard_deviation(n_deg)
-    ys = sampling.gaussian_rounded(k_ys, batch + (vl, params.k), n_deg, sigma)
-    yp = sampling.gaussian_rounded(k_yp, batch + (params.k,), n_deg, sigma)
+    gbound = gaussian_bound(params, n_deg)
+    ys = sample_y(k_ys, params, n_deg, batch + (vl,))
+    yp = sample_y(k_yp, params, n_deg, batch)
 
-    ys_hat = ring.fwd(ys)
-    yp_hat = ring.fwd(yp)
-    ts = ring.inv(mat.matvec_hat(ring, ck.a1_hat, ys_hat))   # [..., V, n, N]
-    tp = ring.inv(mat.matvec_hat(ring, ck.a1_hat, yp_hat))   # [..., n, N]
+    ts = matvec_key(ring, ck, "a1", ys, gbound)   # [..., V, n, N]
+    tp = matvec_key(ring, ck, "a1", yp, gbound)   # [..., n, N]
 
-    # u = sum_i g_i*(a2.y_i) - a2.yp  (depth-one: reduce a2.y_i first)
-    a2ys = ring.inv(mat.matvec_hat(ring, ck.a2_hat, ys_hat))  # [..., V, l, N]
+    # u = sum_i g_i*(a2.y_i) - a2.yp  (depth-one: a2.y_i reduced mod q)
+    a2ys = matvec_key(ring, ck, "a2", ys, gbound)  # [..., V, l, N]
+    a2yp = matvec_key(ring, ck, "a2", yp, gbound)  # [..., l, N]
     gay = mat.scalar_mul_hat(ring, gs_hat, ring.fwd(a2ys))    # [P, ..., V, l, N]
-    u = ring.inv(
-        ring.sub_hat(_sum_v(ring, gay, v_axis=-3), mat.matvec_hat(ring, ck.a2_hat, yp_hat))
-    )
+    u = zq.sub_centered(ring.qctx, ring.inv(_sum_v(ring, gay, v_axis=-3)), a2yp)
 
     return (
         SumProofResponseContext(openings=openings, opening_p=opening_p, yp=yp, ys=ys),
@@ -151,12 +149,13 @@ def create_response(
     """Move 3 (/root/reference/src/prove/sum.rs:182-200)."""
     n_deg = ctx.yp.shape[-1]
     ring = get_ring(n_deg, params.modulus)
-    d_hat = ring.fwd_const(challenge.d)
+    num = ring.primes_needed(min(params.kappa, n_deg) * params.b)
+    d_hat = ring.fwd_const(challenge.d, num)
     # d broadcasts over the V axis of rs: [..., V, k, N]
     drs = ring.inv(
-        mat.scalar_mul_hat(ring, d_hat[..., None, :], ring.fwd(ctx.openings.r))
+        mat.scalar_mul_hat(ring, d_hat[..., None, :], ring.fwd(ctx.openings.r, num))
     )
-    drp = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(ctx.opening_p.r)))
+    drp = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(ctx.opening_p.r, num)))
     return SumProofResponse(
         zs=zq.add_centered(ring.qctx, ctx.ys, drs),
         zp=zq.add_centered(ring.qctx, ctx.yp, drp),
@@ -183,37 +182,43 @@ def verify(
         )
 
     ok = jnp.all(verify_ok(params, n_deg, zs), axis=-1) & verify_ok(params, n_deg, zp)
+    vbound = params.verify_bound(n_deg)
 
-    d_hat = ring.fwd_const(vctx.d)
     gs_hat = ring.fwd_const(vctx.gs)
-    zs_hat = ring.fwd(zs)
-    zp_hat = ring.fwd(zp)
+    num_d = ring.primes_needed((min(params.kappa, n_deg) + 1) * 2**31)
+    d_hat = ring.fwd_const(vctx.d, num_d)
 
     # per-i: a1.z_i == t_i + c1_i*d  (d broadcasts over V)
-    eq1 = jnp.all(
-        mat.equal_mod_q_hat(
-            ring,
-            mat.matvec_hat(ring, ck.a1_hat, zs_hat),
-            ring.add_hat(
-                ring.fwd(vctx.ts),
-                mat.scalar_mul_hat(ring, d_hat[..., None, :], ring.fwd(vctx.c1s)),
+    rhs1 = ring.inv(
+        ring.add_hat(
+            ring.fwd(vctx.ts, num_d),
+            mat.scalar_mul_hat(
+                ring, d_hat[..., None, :], ring.fwd(vctx.c1s, num_d)
             ),
-        ),
+        )
+    )
+    eq1 = jnp.all(
+        mat.poly_equal(matvec_key(ring, ck, "a1", zs, vbound), rhs1, struct_axes=1),
         axis=-1,
     )
     # a1.zp == tp + c1p*d
-    eq2 = mat.equal_mod_q_hat(
-        ring,
-        mat.matvec_hat(ring, ck.a1_hat, zp_hat),
+    rhs2 = ring.inv(
         ring.add_hat(
-            ring.fwd(vctx.tp), mat.scalar_mul_hat(ring, d_hat, ring.fwd(vctx.c1p))
-        ),
+            ring.fwd(vctx.tp, num_d),
+            mat.scalar_mul_hat(ring, d_hat, ring.fwd(vctx.c1p, num_d)),
+        )
     )
+    eq2 = mat.poly_equal(matvec_key(ring, ck, "a1", zp, vbound), rhs2, struct_axes=1)
+
     # sum_i g_i*(a2.z_i) - a2.zp == (sum_i g_i*c2_i - c2p)*d + u
-    a2zs = ring.inv(mat.matvec_hat(ring, ck.a2_hat, zs_hat))       # [..., V, l, N]
-    lhs = ring.sub_hat(
-        _sum_v(ring, mat.scalar_mul_hat(ring, gs_hat, ring.fwd(a2zs)), v_axis=-3),
-        mat.matvec_hat(ring, ck.a2_hat, zp_hat),
+    a2zs = matvec_key(ring, ck, "a2", zs, vbound)                   # [..., V, l, N]
+    a2zp = matvec_key(ring, ck, "a2", zp, vbound)
+    lhs = zq.sub_centered(
+        ring.qctx,
+        ring.inv(
+            _sum_v(ring, mat.scalar_mul_hat(ring, gs_hat, ring.fwd(a2zs)), v_axis=-3)
+        ),
+        a2zp,
     )
     gc2 = ring.inv(
         ring.sub_hat(
@@ -221,8 +226,12 @@ def verify(
             ring.fwd(vctx.c2p),
         )
     )
-    rhs = ring.add_hat(mat.scalar_mul_hat(ring, d_hat, ring.fwd(gc2)), ring.fwd(vctx.u))
-    eq3 = mat.equal_mod_q_hat(ring, lhs, rhs)
+    rhs = zq.add_centered(
+        ring.qctx,
+        ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(gc2, num_d))),
+        vctx.u,
+    )
+    eq3 = mat.poly_equal(lhs, rhs, struct_axes=1)
 
     return ok & eq1 & eq2 & eq3
 
