@@ -70,8 +70,10 @@ def challenge(key, shape, n: int, kappa: int):
         signs,
         jnp.zeros((), jnp.int32),
     )
-    # random permutation along last axis: order of iid uniforms
-    u = jax.random.uniform(kperm, shape + (n,))
+    # random permutation along last axis: order of iid uint32 keys (exact up
+    # to key collisions, ~N^2/2^33 per draw -- far rarer than with f32
+    # uniforms -- and integer sorts are cheaper on TPU)
+    u = jax.random.bits(kperm, shape + (n,), dtype=jnp.uint32)
     perm = jnp.argsort(u, axis=-1)
     return jnp.take_along_axis(base, perm, axis=-1)
 
