@@ -65,17 +65,22 @@ def challenge(key, shape, n: int, kappa: int):
     kappa = min(kappa, n)
     ksign, kperm = jax.random.split(key)
     signs = jax.random.rademacher(ksign, shape + (n,), dtype=jnp.int32)
-    base = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, shape + (n,), len(shape)) < kappa,
-        signs,
-        jnp.zeros((), jnp.int32),
-    )
-    # random permutation along last axis: order of iid uint32 keys (exact up
-    # to key collisions, ~N^2/2^33 per draw -- far rarer than with f32
-    # uniforms -- and integer sorts are cheaper on TPU)
+    # The support is a uniform kappa-subset of lanes: take the top-kappa of
+    # iid uint32 keys under the stable order (key desc, lane asc) -- the
+    # same distribution as permuting by key order (Fisher-Yates analog),
+    # but top_k of kappa << N beats a full sort. The threshold pair
+    # (kappa-th value, its lane) reconstructs the selected set exactly,
+    # including key-collision ties, via one lexicographic compare.
     u = jax.random.bits(kperm, shape + (n,), dtype=jnp.uint32)
-    perm = jnp.argsort(u, axis=-1)
-    return jnp.take_along_axis(base, perm, axis=-1)
+    if kappa == n:
+        mask = jnp.ones(shape + (n,), bool)
+    else:
+        topv, topi = jax.lax.top_k(u, kappa)
+        thr_v = topv[..., -1:]
+        thr_i = topi[..., -1:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape + (n,), len(shape))
+        mask = (u > thr_v) | ((u == thr_v) & (lane <= thr_i))
+    return jnp.where(mask, signs, jnp.zeros((), jnp.int32))
 
 
 def challenge_difference(key, shape, n: int, kappa: int):
