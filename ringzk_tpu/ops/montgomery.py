@@ -58,9 +58,9 @@ class MontCtx:
 
     def mont_mul(self, a, b):
         """a * b * R^{-1} mod p. Exact for any uint32 a if b < p (or vice versa)."""
-        p = jnp.uint32(self.p)
+        p = np.uint32(self.p)
         t_hi, t_lo = u64.mul_wide(a, b)
-        m = t_lo * jnp.uint32(self.pinv_neg)          # wraps mod 2^32
+        m = t_lo * np.uint32(self.pinv_neg)          # wraps mod 2^32
         mp_hi, _ = u64.mul_wide(m, p)                  # (m*p) lo == -t_lo mod 2^32
         carry = (t_lo != 0).astype(jnp.uint32)
         # u = (t + m*p) / 2^32, may reach 2p < 2^33 for p > 2^31: track carry-out
@@ -70,39 +70,39 @@ class MontCtx:
         c3 = (lo2 < carry).astype(jnp.uint32)
         over = (c2 + c3) > 0                           # u >= 2^32
         sub = over | (lo2 >= p)
-        return lo2 - jnp.where(sub, p, jnp.uint32(0))  # wrapping subtract is exact
+        return lo2 - jnp.where(sub, p, np.uint32(0))  # wrapping subtract is exact
 
     def mul(self, a, b):
         """Plain modular product a*b mod p for normal-form a, b (two REDCs):
         mont_mul(a, b) = a*b*R^{-1}; a second REDC against R^2 restores it."""
-        return self.mont_mul(self.mont_mul(a, b), jnp.uint32(self.r2))
+        return self.mont_mul(self.mont_mul(a, b), np.uint32(self.r2))
 
     def add(self, a, b):
         """(a + b) mod p for a, b in [0, p)."""
-        p = jnp.uint32(self.p)
+        p = np.uint32(self.p)
         s = a + b
         ov = s < a
-        return s - jnp.where(ov | (s >= p), p, jnp.uint32(0))
+        return s - jnp.where(ov | (s >= p), p, np.uint32(0))
 
     def sub(self, a, b):
         """(a - b) mod p for a, b in [0, p)."""
-        p = jnp.uint32(self.p)
+        p = np.uint32(self.p)
         d = a - b
-        return d + jnp.where(a < b, p, jnp.uint32(0))
+        return d + jnp.where(a < b, p, np.uint32(0))
 
     def neg(self, a):
-        p = jnp.uint32(self.p)
-        return jnp.where(a == 0, jnp.uint32(0), p - a)
+        p = np.uint32(self.p)
+        return jnp.where(a == 0, np.uint32(0), p - a)
 
     def to_mont(self, a):
-        return self.mont_mul(a, jnp.uint32(self.r2))
+        return self.mont_mul(a, np.uint32(self.r2))
 
     def from_mont(self, a):
-        return self.mont_mul(a, jnp.uint32(1))
+        return self.mont_mul(a, np.uint32(1))
 
     def reduce_u32(self, a):
         """a mod p for arbitrary uint32 a (single REDC with R mod p)."""
-        return self.mont_mul(a, jnp.uint32(self.r1))
+        return self.mont_mul(a, np.uint32(self.r1))
 
     def reduce_i32_centered(self, a):
         """x mod p for int32 centered x (any int32), result in [0, p)."""
@@ -112,7 +112,7 @@ class MontCtx:
         xu = jax.lax.bitcast_convert_type(ai, jnp.uint32)  # two's complement bits
         r = self.reduce_u32(xu)
         # x = xu - 2^32*[x<0]; (-2^32) mod p == p - R1 (R1 != 0 since p !| 2^32)
-        corr = jnp.uint32((self.p - self.r1) % self.p)
+        corr = np.uint32((self.p - self.r1) % self.p)
         return jnp.where(ai < 0, self.add(r, corr), r)
 
     # Python-side helpers (host constants) --------------------------------

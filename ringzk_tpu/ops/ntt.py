@@ -41,6 +41,14 @@ NUM_PRIMES = len(PRIMES)
 M_PROD = PRIMES[0] * PRIMES[1] * PRIMES[2]
 
 
+def _use_pallas() -> bool:
+    """Route NTT transforms through the fused Pallas kernel (TPU only;
+    opt-in via RINGZK_PALLAS=1, validated bit-exact in tests/test_pallas.py)."""
+    import os
+
+    return os.environ.get("RINGZK_PALLAS", "0") == "1"
+
+
 def _bit_reverse(i: int, bits: int) -> int:
     r = 0
     for _ in range(bits):
@@ -229,11 +237,17 @@ class RingContext:
         :meth:`primes_needed` to pick num from a bound.
         """
         outs = []
+        use_pallas = _use_pallas()
         for i in range(num):
             ctx = self.mont[i]
             w_fwd = self._tables[i][3]
             xi = ctx.reduce_i32_centered(x)
-            outs.append(_fwd_one(ctx, jnp.asarray(w_fwd), xi))
+            if use_pallas:
+                from .pallas import ntt_kernel
+
+                outs.append(ntt_kernel.fwd_one_pallas(ctx, jnp.asarray(w_fwd), xi))
+            else:
+                outs.append(_fwd_one(ctx, jnp.asarray(w_fwd), xi))
         return jnp.stack(outs, axis=0)
 
     def fwd_const(self, x, num: int = NUM_PRIMES):
@@ -269,10 +283,20 @@ class RingContext:
         """
         num = xhat.shape[0]
         ys = []
+        use_pallas = _use_pallas()
         for i in range(num):
             ctx = self.mont[i]
             n_inv_scale, w_inv = self._tables[i][2], self._tables[i][4]
-            ys.append(_inv_one(ctx, jnp.asarray(w_inv), n_inv_scale, xhat[i]))
+            if use_pallas:
+                from .pallas import ntt_kernel
+
+                ys.append(
+                    ntt_kernel.inv_one_pallas(
+                        ctx, jnp.asarray(w_inv), n_inv_scale, xhat[i]
+                    )
+                )
+            else:
+                ys.append(_inv_one(ctx, jnp.asarray(w_inv), n_inv_scale, xhat[i]))
         return self._crt_to_centered(ys)
 
     def _crt_to_centered(self, ys):

@@ -21,8 +21,9 @@ math instead of arbitrary precision (values are bounded by construction).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_MASK16 = jnp.uint32(0xFFFF)
+_MASK16 = np.uint32(0xFFFF)
 
 
 def mul_wide(a, b):

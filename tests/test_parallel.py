@@ -1,0 +1,92 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: dp-sharded proof
+batches with psum batch-verify, and the sequence-parallel (N-sharded) NTT."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+import ringzk_tpu as rz
+from ringzk_tpu.ops import ntt
+from ringzk_tpu.parallel import mesh as pmesh
+from ringzk_tpu.parallel import ntt_sp
+
+N = 16
+PARAMS = rz.Params()
+Q = PARAMS.modulus
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (run via scripts/pytest-cpu)")
+    return pmesh.make_mesh(8)
+
+
+def test_dp_sharded_roundtrip(mesh8):
+    kk, kx, kp = jax.random.split(jax.random.PRNGKey(0), 3)
+    ck = rz.keygen(kk, PARAMS, N)
+    x = jax.random.randint(kx, (32, PARAMS.l, N), -PARAMS.q, PARAMS.q + 1, jnp.int32)
+    ok, all_ok = pmesh.batched_open_prove_verify(mesh8, kp, ck, x, PARAMS)
+    assert ok.shape == (32,)
+    assert bool(jnp.all(ok)) and bool(all_ok)
+
+
+def test_dp_sharding_layout(mesh8):
+    kk, kx, kp = jax.random.split(jax.random.PRNGKey(1), 3)
+    ck = rz.keygen(kk, PARAMS, N)
+    x = jax.random.randint(kx, (16, PARAMS.l, N), -PARAMS.q, PARAMS.q + 1, jnp.int32)
+    xs = pmesh.shard_batch(mesh8, x)
+    # batch axis must actually be split 8 ways
+    assert len(xs.sharding.device_set) == 8
+    step = pmesh.open_step_fn(mesh8, ck, PARAMS)
+    ok, all_ok = step(kp, xs)
+    assert bool(all_ok)
+
+
+def test_batch_not_divisible_raises(mesh8):
+    kk, kx, kp = jax.random.split(jax.random.PRNGKey(2), 3)
+    ck = rz.keygen(kk, PARAMS, N)
+    x = jax.random.randint(kx, (10, PARAMS.l, N), -PARAMS.q, PARAMS.q + 1, jnp.int32)
+    with pytest.raises(ValueError, match="divisible"):
+        pmesh.batched_open_prove_verify(mesh8, kp, ck, x, PARAMS)
+
+
+@pytest.fixture(scope="module")
+def mesh_sp():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (run via scripts/pytest-cpu)")
+    return pmesh.make_mesh(8, axis="sp")
+
+
+@pytest.mark.parametrize("n_sp", [256, 1024])
+def test_sp_ntt_polymul_matches_schoolbook(mesh_sp, rng, n_sp):
+    """Coefficient-axis-sharded polymul == single-device exact product."""
+    mesh8 = mesh_sp
+    a = rng.integers(-(Q // 2), Q // 2 + 1, size=(n_sp,))
+    b = rng.integers(-(Q // 2), Q // 2 + 1, size=(n_sp,))
+    got = np.asarray(
+        ntt_sp.polymul_sp(
+            mesh8, jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32), n_sp, Q
+        )
+    )
+    ring = ntt.get_ring(n_sp, Q)
+    want = np.asarray(ring.polymul(jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sp_ntt_batched(mesh_sp, rng):
+    mesh8 = mesh_sp
+    n_sp = 256
+    a = rng.integers(-(Q // 2), Q // 2 + 1, size=(3, n_sp))
+    b = rng.integers(-(Q // 2), Q // 2 + 1, size=(3, n_sp))
+    got = np.asarray(
+        ntt_sp.polymul_sp(
+            mesh8, jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32), n_sp, Q
+        )
+    )
+    ring = ntt.get_ring(n_sp, Q)
+    want = np.asarray(ring.polymul(jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32)))
+    np.testing.assert_array_equal(got, want)
