@@ -68,6 +68,97 @@ def split_rows(x, r: int):
     return x[..., :r, :], x[..., r:, :]
 
 
+# -- constructors / shape ops (reference Mat parity, /root/reference/src/mat.rs)
+
+
+def from_element(rows: int, cols: int, poly):
+    """Matrix with every entry the given polynomial
+    (`Mat::from_element`, mat.rs:24-30). poly: [..., N]."""
+    poly = jnp.asarray(poly)
+    return jnp.broadcast_to(
+        poly[..., None, None, :], poly.shape[:-1] + (rows, cols, poly.shape[-1])
+    )
+
+
+def diag(rows: int, cols: int, poly):
+    """Diagonal matrix with `poly` on the diagonal, zero elsewhere
+    (`Mat::diag`, mat.rs:33-43)."""
+    poly = jnp.asarray(poly)
+    n = poly.shape[-1]
+    eye = jnp.eye(rows, cols, dtype=poly.dtype)[..., None]
+    return eye * poly[..., None, None, :]
+
+
+def from_vec(polys):
+    """Column matrix [..., rows, N] -> [..., rows, 1, N]
+    (`Mat::from_vec`, mat.rs:46-50)."""
+    return jnp.asarray(polys)[..., :, None, :]
+
+
+def one_d_mat_to_vec(m):
+    """[..., rows, 1, N] -> [..., rows, N]
+    (`Mat::one_d_mat_to_vec`, mat.rs:56-64)."""
+    assert m.shape[-2] == 1, m.shape
+    return m[..., :, 0, :]
+
+
+def new_with(key, rows: int, cols: int, n: int, sampler):
+    """Matrix filled by a sampler(key, shape, n) -> [..., N] draw
+    (`Mat::new_with`, mat.rs:67-76)."""
+    return sampler(key, (rows, cols), n)
+
+
+def dim(m):
+    """(rows, cols) of a [..., rows, cols, N] stack (`Mat::dim`, mat.rs:79-87)."""
+    return m.shape[-3], m.shape[-2]
+
+
+def extend_rows(a, b):
+    """Stack below: [r1, c, N] + [r2, c, N] -> [r1+r2, c, N]
+    (`Mat::extend_rows`, mat.rs:186-195)."""
+    return jnp.concatenate([a, b], axis=-3)
+
+
+def extend_cols(a, b):
+    """Stack right: [r, c1, N] + [r, c2, N] -> [r, c1+c2, N]
+    (`Mat::extend_cols`, mat.rs:221-233)."""
+    return jnp.concatenate([a, b], axis=-2)
+
+
+def dot(ring: RingContext, a, b):
+    """Full matrix product over the ring: [..., m, n, N] . [..., n, p, N]
+    -> [..., m, p, N], centered int32 (the reference's triple-loop
+    `Mat::dot`, mat.rs:95-115, via NTT pointwise MACs). The contraction
+    length n must be <= RingContext.ACC_MAX."""
+    n_c = a.shape[-2]
+    assert b.shape[-3] == n_c, (a.shape, b.shape)
+    assert n_c <= ring.ACC_MAX
+    a_hat = ring.fwd_const(a)          # [P, ..., m, n, N]
+    b_hat = ring.fwd(b)                # [P, ..., n, p, N]
+    prod = ring.dot_hat(a_hat[..., :, :, None, :], b_hat[..., None, :, :, :])
+    return ring.inv(ring.sum_hat(prod, axis=-3))
+
+
+def add(ring: RingContext, a, b):
+    """Elementwise matrix addition (`Mat::add`, mat.rs:122-140)."""
+    return zq.add_centered(ring.qctx, a, b)
+
+
+def sub(ring: RingContext, a, b):
+    """Elementwise matrix subtraction (`Mat::sub`, mat.rs:147-165)."""
+    return zq.sub_centered(ring.qctx, a, b)
+
+
+def componentwise_mul(ring: RingContext, m, g):
+    """Multiply every entry by the scalar polynomial g
+    (`Mat::componentwise_mul`, mat.rs:168-178). m: [..., rows, cols, N] or
+    [..., rows, N]; g: [..., N]."""
+    g_hat = ring.fwd_const(g)
+    extra = m.ndim - g.ndim  # structure axes to broadcast g over
+    idx = (...,) + (None,) * extra + (slice(None),)
+    return ring.inv(ring.dot_hat(g_hat[idx], ring.fwd(m)))
+
+
 def equal_mod_q_hat(ring: RingContext, a_hat, b_hat, struct_axes=1):
     """Ring equality of two plain-form NTT-domain stacks, via a single
     inverse transform of their difference: a == b in R_q iff

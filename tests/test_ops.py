@@ -185,3 +185,66 @@ def test_add_sub_centered(rng):
     want = (a.astype(object) - b) % Q
     want = np.where(want > Q // 2, want - Q, want)
     assert (got.astype(object) == want).all()
+
+
+# -- mat helpers (reference Mat parity, /root/reference/src/mat.rs tests) ----
+
+
+def test_mat_dot_matches_schoolbook(rng):
+    from ringzk_tpu.ops import mat as mat_mod
+
+    n = 16
+    ring = ntt.get_ring(n, Q)
+    a = rng.integers(-(Q // 2), Q // 2 + 1, size=(2, 3, n))
+    b = rng.integers(-(Q // 2), Q // 2 + 1, size=(3, 2, n))
+    got = np.asarray(mat_mod.dot(ring, jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32)))
+    want = np.zeros((2, 2, n), np.int64)
+    for i in range(2):
+        for j in range(2):
+            acc = np.zeros(n, dtype=object)
+            for t in range(3):
+                acc = acc + ntt.negacyclic_schoolbook(a[i, t], b[t, j], Q).astype(object)
+            acc = acc % Q
+            acc = np.where(acc > Q // 2, acc - Q, acc)
+            want[i, j] = acc.astype(np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mat_shape_helpers(rng):
+    from ringzk_tpu.ops import mat as mat_mod
+
+    n = 8
+    p1 = jnp.asarray(rng.integers(-5, 6, size=(n,)), jnp.int32)
+    m = mat_mod.from_element(2, 3, p1)
+    assert m.shape == (2, 3, n)
+    d = mat_mod.diag(3, 3, p1)
+    assert d.shape == (3, 3, n)
+    assert (np.asarray(d[0, 1]) == 0).all()
+    np.testing.assert_array_equal(np.asarray(d[1, 1]), np.asarray(p1))
+    v = mat_mod.from_vec(jnp.stack([p1, p1]))
+    assert v.shape == (2, 1, n)
+    np.testing.assert_array_equal(np.asarray(mat_mod.one_d_mat_to_vec(v)[0]), np.asarray(p1))
+    assert mat_mod.dim(m) == (2, 3)
+    er = mat_mod.extend_rows(m, m)
+    assert er.shape == (4, 3, n)
+    ec = mat_mod.extend_cols(m, m)
+    assert ec.shape == (2, 6, n)
+    # split_rows operates on column stacks [..., rows, N] (as used by c1_c2)
+    stack = jnp.stack([p1, p1, p1, p1])  # [4, n]
+    top, bot = mat_mod.split_rows(stack, 1)
+    assert top.shape == (1, n) and bot.shape == (3, n)
+
+
+def test_mat_componentwise_mul(rng):
+    from ringzk_tpu.ops import mat as mat_mod
+
+    n = 16
+    ring = ntt.get_ring(n, Q)
+    m = rng.integers(-(Q // 2), Q // 2 + 1, size=(3, 1, n))
+    g = rng.integers(-(Q // 2), Q // 2 + 1, size=(n,))
+    got = np.asarray(
+        mat_mod.componentwise_mul(ring, jnp.asarray(m, jnp.int32), jnp.asarray(g, jnp.int32))
+    )
+    for i in range(3):
+        want = ntt.negacyclic_schoolbook(m[i, 0], g, Q)
+        np.testing.assert_array_equal(got[i, 0], want)
