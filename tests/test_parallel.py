@@ -90,3 +90,27 @@ def test_sp_ntt_batched(mesh_sp, rng):
     ring = ntt.get_ring(n_sp, Q)
     want = np.asarray(ring.polymul(jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_matches_unsharded(mesh8):
+    """Determinism across device layouts (SURVEY section 5.2 analog): the
+    sharded pipeline must produce bit-identical proofs to the single-device
+    run for the same PRNG key (threefry is counter-based; partitioning must
+    not change sampled values or arithmetic)."""
+    from ringzk_tpu.protocols import open as open_mod
+
+    kk, kx, kp = jax.random.split(jax.random.PRNGKey(3), 3)
+    ck = rz.keygen(kk, PARAMS, N)
+    x = jax.random.randint(kx, (16, PARAMS.l, N), -PARAMS.q, PARAMS.q + 1, jnp.int32)
+
+    rctx_u, pcom_u = open_mod.prover_commit(kp, ck, x, PARAMS)
+
+    xs = pmesh.shard_batch(mesh8, x)
+    ck_r = pmesh.replicate(mesh8, ck)
+    rctx_s, pcom_s = jax.jit(
+        lambda k, xx: open_mod.prover_commit(k, ck_r, xx, PARAMS)
+    )(kp, xs)
+
+    np.testing.assert_array_equal(np.asarray(pcom_u.c.c), np.asarray(pcom_s.c.c))
+    np.testing.assert_array_equal(np.asarray(pcom_u.t), np.asarray(pcom_s.t))
+    np.testing.assert_array_equal(np.asarray(rctx_u.y), np.asarray(rctx_s.y))
