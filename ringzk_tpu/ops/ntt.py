@@ -404,25 +404,50 @@ def get_ring(n: int, q: int) -> RingContext:
     return RingContext(n=n, q=q)
 
 
-def negacyclic_schoolbook(a, b, q):
-    """O(N^2) reference negacyclic product on numpy object ints (tests only).
+# Pairwise-coprime 26-bit moduli for the exact golden-model convolution:
+# per-modulus int64 np.convolve cannot overflow (N * (2^26)^2 <= 2^62 for
+# N <= 1024... actually any N <= 2^10; larger N uses object fallback), and
+# their product ~2^78 exceeds twice the true coefficient bound N*(q/2)^2.
+_SB_MODULI = (1 << 26, (1 << 26) - 1, (1 << 26) - 3)
 
-    Mirrors the semantics of poly-ring-xnp1's `*` (x^N == -1), used as the
-    golden model for NTT correctness tests.
-    """
+
+def negacyclic_schoolbook(a, b, q):
+    """Exact negacyclic product golden model (tests only): mirrors the
+    semantics of poly-ring-xnp1's `*` (x^N == -1), i.e. the reference's
+    schoolbook multiply, but computed as CRT over int64 `np.convolve`
+    passes so large-N goldens stay fast. Bit-for-bit identical results to
+    the naive O(N^2) object-int double loop (validated in tests)."""
     a = np.asarray(a, dtype=object)
     b = np.asarray(b, dtype=object)
     n = a.shape[-1]
-    out = np.zeros(a.shape[:-1] + (n,), dtype=object)
-    for i in range(n):
-        for j in range(n):
-            k = i + j
-            sign = 1
-            if k >= n:
-                k -= n
-                sign = -1
-            out[..., k] += sign * a[..., i] * b[..., j]
-    out = np.mod(out, q)
+    shape = np.broadcast_shapes(a.shape, b.shape)
+    af = np.broadcast_to(a, shape).reshape(-1, n)
+    bf = np.broadcast_to(b, shape).reshape(-1, n)
+
+    ms = _SB_MODULI
+    prod_m = ms[0] * ms[1] * ms[2]
+    if n * max(ms) ** 2 >= 2**63:  # pragma: no cover - tests use N <= 1024
+        raise ValueError(f"N={n} too large for the int64 CRT golden model")
+    # CRT basis: e_i == 1 mod m_i, 0 mod m_j (Python ints, exact)
+    basis = []
+    for m in ms:
+        rest = prod_m // m
+        basis.append(rest * pow(rest, -1, m))
+
+    rows = []
+    for ai, bi in zip(af, bf):
+        x = 0
+        for m, e in zip(ms, basis):
+            am = np.asarray([int(v) % m for v in ai], dtype=np.int64)
+            bm = np.asarray([int(v) % m for v in bi], dtype=np.int64)
+            c = np.convolve(am, bm)  # length 2n-1, sums < 2^63
+            folded = c[:n].copy()
+            folded[: n - 1] -= c[n:]  # x^N == -1
+            x = x + e * (folded.astype(object) % m)
+        x = x % prod_m
+        x = np.where(x > prod_m // 2, x - prod_m, x)  # exact integer coeffs
+        rows.append(x)
+    out = np.mod(np.stack(rows).reshape(shape), q)
     half = q // 2
     out = np.where(out > half, out - q, out)
     return out.astype(np.int64)

@@ -94,19 +94,17 @@ def _inv_local_block(ctx, x, w_inv_local, n: int, n_dev: int, axis: str):
     return x
 
 
-def polymul_sp(mesh: Mesh, a, b, n: int, q: int, axis: str = "sp"):
-    """Exact negacyclic product with the coefficient axis sharded over
-    ``axis``. a (const operand) and b: [..., N] centered int32, N sharded.
+@functools.lru_cache(maxsize=None)
+def _polymul_sp_fn(mesh: Mesh, n: int, q: int, axis: str, ndim: int):
+    """Build (once per mesh/N/q/ndim) the jitted shard_map program.
 
-    Demonstration/path for very large N; per-prime NTTs run under one
-    shard_map with log2(n_dev) ppermute exchanges per transform.
-    """
+    Jitting here is essential: an un-jitted shard_map runs its body
+    eagerly, dispatching every butterfly op across the mesh one at a time
+    -- minutes of pure tracing overhead per call at large N."""
     ring = ntt_mod.get_ring(n, q)
     n_dev = mesh.shape[axis]
-    if n % n_dev or (n // n_dev) & (n // n_dev - 1):
-        raise ValueError("N / n_dev must be a power of two")
 
-    spec_last = P(*([None] * (a.ndim - 1) + [axis]))
+    spec_last = P(*([None] * (ndim - 1) + [axis]))
     w_specs = P(None, axis)
 
     @functools.partial(
@@ -133,8 +131,23 @@ def polymul_sp(mesh: Mesh, a, b, n: int, q: int, axis: str = "sp"):
             outs.append(y)
         return ring._crt_to_centered(outs)
 
+    return jax.jit(body)
+
+
+def polymul_sp(mesh: Mesh, a, b, n: int, q: int, axis: str = "sp"):
+    """Exact negacyclic product with the coefficient axis sharded over
+    ``axis``. a (const operand) and b: [..., N] centered int32, N sharded.
+
+    Demonstration/path for very large N; per-prime NTTs run under one
+    shard_map with log2(n_dev) ppermute exchanges per transform.
+    """
+    ring = ntt_mod.get_ring(n, q)
+    n_dev = mesh.shape[axis]
+    if n % n_dev or (n // n_dev) & (n // n_dev - 1):
+        raise ValueError("N / n_dev must be a power of two")
+
     tables = []
     for i in range(ntt_mod.NUM_PRIMES):
         _, _, _, w_fwd, w_inv = ring._tables[i]
         tables += [jnp.asarray(w_fwd), jnp.asarray(w_inv)]
-    return body(a, b, *tables)
+    return _polymul_sp_fn(mesh, n, q, axis, a.ndim)(a, b, *tables)

@@ -172,9 +172,17 @@ def commit(key, ck: CommitmentKey, x, params: Params):
     batch = x.shape[:-2]
     ka, kb = jax.random.split(key)
     r = sampling.uniform_centered(ka, batch + (params.k,), n_deg, params.b)
-    ok = commit_ok(params, n_deg, r)  # [...] bool
-    r2 = sampling.uniform_centered(kb, batch + (params.k,), n_deg, params.b)
-    r = jnp.where(ok[..., None, None], r, r2)
+
+    # Static reachability: any |coeff| <= b draw has norm_2 <= b*sqrt(N);
+    # when that can never exceed the commit bound, the reference's rejection
+    # loop (/root/reference/src/commit.rs:98-107) provably runs exactly one
+    # iteration, so the constraint check and backup resample are dead code
+    # (true for every valid parameter set: sigma >= 11*kappa*b).
+    cb = params.commit_bound(n_deg)
+    if n_deg * params.b * params.b > cb * cb + 2 * cb:
+        ok = commit_ok(params, n_deg, r)  # [...] bool
+        r2 = sampling.uniform_centered(kb, batch + (params.k,), n_deg, params.b)
+        r = jnp.where(ok[..., None, None], r, r2)
 
     c = _commit_value(ring, ck, x, r, params)
     return Opening(x=x, r=r), Commitment(c=c)

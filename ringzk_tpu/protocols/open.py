@@ -152,13 +152,16 @@ def verify(
     lhs = matvec_key(ring, ck, "a1", z, params.verify_bound(n_deg))
     # t + c1*d: c1 and t are arbitrary int32 from the wire, d is
     # kappa-sparse ternary -> |integer coeffs| <= 2^31 + min(kappa,N)*2^31,
-    # comfortably inside a 2-prime subset
+    # comfortably inside a 2-prime subset. t and c1 share one stacked
+    # forward transform (halves the kernel launches).
     num = ring.primes_needed((min(params.kappa, n_deg) + 1) * 2**31)
+    nr = vctx.t.shape[-2]
     d_hat = ring.fwd_const(vctx.d, num)
+    tc1_hat = ring.fwd(jnp.concatenate([vctx.t, vctx.c1], axis=-2), num)
     rhs = ring.inv(
         ring.add_hat(
-            ring.fwd(vctx.t, num),
-            mat.scalar_mul_hat(ring, d_hat, ring.fwd(vctx.c1, num)),
+            tc1_hat[..., :nr, :],
+            mat.scalar_mul_hat(ring, d_hat, tc1_hat[..., nr:, :]),
         )
     )
     return ok_norm & mat.poly_equal(lhs, rhs, struct_axes=1)
