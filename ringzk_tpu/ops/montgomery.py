@@ -63,6 +63,12 @@ class MontCtx:
         m = t_lo * np.uint32(self.pinv_neg)          # wraps mod 2^32
         mp_hi, _ = u64.mul_wide(m, p)                  # (m*p) lo == -t_lo mod 2^32
         carry = (t_lo != 0).astype(jnp.uint32)
+        if self.p < 2**31:
+            # u = (t + m*p)/2^32 < 2p < 2^32: no carry-out is possible
+            # (t < 2^32 * p, m*p < 2^32 * p), so u fits uint32 and one
+            # conditional subtract lands in [0, p).
+            u = t_hi + mp_hi + carry
+            return u - jnp.where(u >= p, p, np.uint32(0))
         # u = (t + m*p) / 2^32, may reach 2p < 2^33 for p > 2^31: track carry-out
         lo = t_hi + mp_hi
         c2 = (lo < t_hi).astype(jnp.uint32)
@@ -81,6 +87,8 @@ class MontCtx:
         """(a + b) mod p for a, b in [0, p)."""
         p = np.uint32(self.p)
         s = a + b
+        if self.p < 2**31:
+            return s - jnp.where(s >= p, p, np.uint32(0))  # s < 2p < 2^32
         ov = s < a
         return s - jnp.where(ov | (s >= p), p, np.uint32(0))
 
@@ -93,6 +101,25 @@ class MontCtx:
     def neg(self, a):
         p = np.uint32(self.p)
         return jnp.where(a == 0, np.uint32(0), p - a)
+
+    def shoup_mul(self, w, w_shoup, x):
+        """w * x mod p via Shoup's trick: w is a static constant with
+        precomputed w_shoup = floor(w * 2^32 / p); x in [0, p).
+
+        q = floor(w_shoup * x / 2^32) underestimates floor(w*x/p) by at most
+        1, so r = w*x - q*p (wrapping 32-bit arithmetic) lands in [0, 2p);
+        one conditional subtract finishes. ~40% fewer lane ops than REDC --
+        use for twiddle factors and other host-precomputed constants.
+        Requires p < 2^31 (so 2p fits uint32).
+        """
+        p = np.uint32(self.p)
+        q = u64.mul_hi(w_shoup, x)
+        r = w * x - q * p                      # wrapping low-32 arithmetic
+        return r - jnp.where(r >= p, p, np.uint32(0))
+
+    def h_shoup(self, w: int) -> int:
+        """Host-side Shoup companion of a constant w in [0, p)."""
+        return (w << 32) // self.p
 
     def to_mont(self, a):
         return self.mont_mul(a, np.uint32(self.r2))

@@ -73,42 +73,50 @@ def _bit_reverse(i: int, bits: int) -> int:
 def _prime_tables(p: int, g: int, n: int):
     """Twiddle tables for modulus p, ring degree n (returns numpy uint32).
 
-    psi_rev[i]     = mont(psi^{bitrev(i)}),   psi a primitive 2n-th root
-    psi_inv_rev[i] = mont(psi^{-bitrev(i)})
-    n_inv_scale    = N^{-1} * R mod p  (mont_mul by it applies 1/N and
-                     leaves plain-form values plain)
+    psi_rev[i]     = psi^{bitrev(i)} mod p,   psi a primitive 2n-th root
+    psi_inv_rev[i] = psi^{-bitrev(i)} mod p   (both plain form)
+    n_inv_scale    = (N^{-1} mod p, shoup companion) -- final INTT scaling
 
     Also returns per-stage *lane-resident* twiddle planes for the roll-based
-    butterflies (see _fwd_one): w_fwd[s, i] = psi_rev[m + (i >> (logn - s))]
-    for forward stage s (m = 2^s groups), and the analogous inverse planes.
+    butterflies (see _fwd_one): w_fwd[0, s, i] = psi_rev[m + (i >> (logn-s))]
+    for forward stage s (m = 2^s groups) and w_fwd[1] its Shoup companion
+    floor(w << 32 / p) (twiddles are static constants, so butterflies use
+    Shoup's trick -- ~40% fewer lane ops than Montgomery REDC); analogous
+    inverse planes.
     """
     ctx = MontCtx.make(p)
     logn = n.bit_length() - 1
     assert 1 << logn == n, "N must be a power of two"
     assert (p - 1) % (2 * n) == 0, f"prime {p} lacks 2N-th roots for N={n}"
+    assert p < 2**31, "Shoup butterflies require p < 2^31"
     psi = pow(g, (p - 1) // (2 * n), p)
     psi_inv = pow(psi, -1, p)
     psi_rev = np.empty(n, dtype=np.uint32)
     psi_inv_rev = np.empty(n, dtype=np.uint32)
     for i in range(n):
         br = _bit_reverse(i, logn)
-        psi_rev[i] = ctx.h_to_mont(pow(psi, br, p))
-        psi_inv_rev[i] = ctx.h_to_mont(pow(psi_inv, br, p))
-    # N^{-1} * R: mont_mul by this both applies 1/N and leaves values plain
-    n_inv_scale = (pow(n, -1, p) * pow(2, 32, p)) % p
+        psi_rev[i] = pow(psi, br, p)
+        psi_inv_rev[i] = pow(psi_inv, br, p)
+    n_inv = pow(n, -1, p)
+    n_inv_scale = (n_inv, ctx.h_shoup(n_inv))
+
+    def shoup_plane(w):
+        return ((w.astype(object) << 32) // p).astype(np.uint32)
 
     lanes = np.arange(n)
-    w_fwd = np.empty((logn, n), dtype=np.uint32)
+    w_fwd = np.empty((2, logn, n), dtype=np.uint32)
     for s in range(logn):           # stage s: m = 2^s groups, t = n >> (s+1)
         m = 1 << s
         t = n >> (s + 1)
-        w_fwd[s] = psi_rev[m + (lanes >> (logn - s))]
+        w_fwd[0, s] = psi_rev[m + (lanes >> (logn - s))]
         assert (lanes >> (logn - s) == lanes // (2 * t)).all()
-    w_inv = np.empty((logn, n), dtype=np.uint32)
+    w_fwd[1] = shoup_plane(w_fwd[0])
+    w_inv = np.empty((2, logn, n), dtype=np.uint32)
     for s in range(logn):           # stage s: t = 2^s, h = n >> (s+1) groups
         t = 1 << s
         h = n >> (s + 1)
-        w_inv[s] = psi_inv_rev[h + (lanes >> (s + 1))]
+        w_inv[0, s] = psi_inv_rev[h + (lanes >> (s + 1))]
+    w_inv[1] = shoup_plane(w_inv[0])
     return psi_rev, psi_inv_rev, n_inv_scale, w_fwd, w_inv
 
 
@@ -131,14 +139,14 @@ def _fwd_one(ctx: MontCtx, w_fwd, x):
     x: uint32 [..., N] in [0, p). Roll-based butterflies: at stage s the
     pair partner of lane i is i ^ t (t = N >> (s+1)); for lo lanes
     new = x + w*x[partner], for hi lanes new = x[partner] - w*x.
-    w_fwd: [log2(N), N] per-lane twiddle planes (Montgomery form).
+    w_fwd: [2, log2(N), N] per-lane twiddle planes (plain, shoup).
     """
     n = x.shape[-1]
     logn = n.bit_length() - 1
     for s in range(logn):
         t = n >> (s + 1)
         xs, is_lo = _partner_swap(x, t)
-        prod = ctx.mont_mul(w_fwd[s], jnp.where(is_lo, xs, x))
+        prod = ctx.shoup_mul(w_fwd[0, s], w_fwd[1, s], jnp.where(is_lo, xs, x))
         x = jnp.where(is_lo, ctx.add(x, prod), ctx.sub(xs, prod))
     return x
 
@@ -146,16 +154,21 @@ def _fwd_one(ctx: MontCtx, w_fwd, x):
 def _inv_one(ctx: MontCtx, w_inv, n_inv_scale, x):
     """Inverse negacyclic NTT (Gentleman-Sande, bit-reversed in / natural
     out), fused N^{-1} scaling. At stage s (t = 2^s): lo lanes
-    new = x + x[partner]; hi lanes new = (x[partner] - x) * w."""
+    new = x + x[partner]; hi lanes new = (x[partner] - x) * w.
+    n_inv_scale: (plain, shoup) pair."""
     n = x.shape[-1]
     logn = n.bit_length() - 1
     for s in range(logn):
         t = 1 << s
         xs, is_lo = _partner_swap(x, t)
         x = jnp.where(
-            is_lo, ctx.add(x, xs), ctx.mont_mul(w_inv[s], ctx.sub(xs, x))
+            is_lo,
+            ctx.add(x, xs),
+            ctx.shoup_mul(w_inv[0, s], w_inv[1, s], ctx.sub(xs, x)),
         )
-    return ctx.mont_mul(x, jnp.uint32(n_inv_scale))
+    return ctx.shoup_mul(
+        jnp.uint32(n_inv_scale[0]), jnp.uint32(n_inv_scale[1]), x
+    )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -29,10 +29,10 @@ from ..montgomery import MontCtx
 TILE_B = 256
 
 
-def _mont_mul_inline(ctx: MontCtx, a, b):
-    """Montgomery product on uint32 arrays (same algebra as MontCtx.mont_mul,
-    inlined so the kernel has no method-dispatch surprises)."""
-    return ctx.mont_mul(a, b)
+def _shoup_mul_inline(ctx: MontCtx, w, w_shoup, x):
+    """Shoup product on uint32 arrays (same algebra as MontCtx.shoup_mul --
+    twiddles are static constants with precomputed floor(w<<32/p))."""
+    return ctx.shoup_mul(w, w_shoup, x)
 
 
 def _roll_lanes(x, shift: int):
@@ -51,13 +51,14 @@ def _fwd_kernel(ctx: MontCtx, n: int, x_ref, w_ref, o_ref):
         t = n >> (s + 1)
         is_lo = (lane & np.uint32(t)) == 0
         xs = jnp.where(is_lo, _roll_lanes(x, -t), _roll_lanes(x, t))
-        w = w_ref[s, :]
-        prod = _mont_mul_inline(ctx, w, jnp.where(is_lo, xs, x))
+        prod = _shoup_mul_inline(
+            ctx, w_ref[0, s, :], w_ref[1, s, :], jnp.where(is_lo, xs, x)
+        )
         x = jnp.where(is_lo, ctx.add(x, prod), ctx.sub(xs, prod))
     o_ref[...] = x
 
 
-def _inv_kernel(ctx: MontCtx, n: int, n_inv_scale: int, x_ref, w_ref, o_ref):
+def _inv_kernel(ctx: MontCtx, n: int, n_inv_scale, x_ref, w_ref, o_ref):
     x = x_ref[...]
     logn = n.bit_length() - 1
     lane = jax.lax.broadcasted_iota(jnp.uint32, x.shape, x.ndim - 1)
@@ -65,11 +66,14 @@ def _inv_kernel(ctx: MontCtx, n: int, n_inv_scale: int, x_ref, w_ref, o_ref):
         t = 1 << s
         is_lo = (lane & np.uint32(t)) == 0
         xs = jnp.where(is_lo, _roll_lanes(x, -t), _roll_lanes(x, t))
-        w = w_ref[s, :]
         x = jnp.where(
-            is_lo, ctx.add(x, xs), _mont_mul_inline(ctx, w, ctx.sub(xs, x))
+            is_lo,
+            ctx.add(x, xs),
+            _shoup_mul_inline(ctx, w_ref[0, s, :], w_ref[1, s, :], ctx.sub(xs, x)),
         )
-    o_ref[...] = _mont_mul_inline(ctx, x, np.uint32(n_inv_scale))
+    o_ref[...] = _shoup_mul_inline(
+        ctx, np.uint32(n_inv_scale[0]), np.uint32(n_inv_scale[1]), x
+    )
 
 
 def _call(kernel, x2d, w, n, interpret):
@@ -81,7 +85,9 @@ def _call(kernel, x2d, w, n, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((w.shape[0], n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (2, w.shape[1], n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.uint32),
@@ -105,7 +111,7 @@ def fwd_one_pallas(ctx: MontCtx, w_fwd, x, interpret: bool = False):
     return out[:flat].reshape(lead + (n,))
 
 
-def inv_one_pallas(ctx: MontCtx, w_inv, n_inv_scale: int, x, interpret: bool = False):
+def inv_one_pallas(ctx: MontCtx, w_inv, n_inv_scale, x, interpret: bool = False):
     """Inverse NTT + N^{-1} scaling, one prime."""
     n = x.shape[-1]
     lead = x.shape[:-1]

@@ -54,6 +54,27 @@ def mul_wide(a, b):
     return hi, lo
 
 
+def mul_hi(a, b):
+    """High 32 bits of the exact 64-bit product of two uint32 arrays."""
+    a = a.astype(jnp.uint32)
+    b = b.astype(jnp.uint32)
+    a_lo = a & _MASK16
+    a_hi = a >> 16
+    b_lo = b & _MASK16
+    b_hi = b >> 16
+
+    ll = a_lo * b_lo
+    lh = a_lo * b_hi
+    hl = a_hi * b_lo
+    hh = a_hi * b_hi
+
+    mid = lh + hl
+    mid_carry = (mid < lh).astype(jnp.uint32)
+    lo = ll + (mid << 16)
+    lo_carry = (lo < ll).astype(jnp.uint32)
+    return hh + (mid >> 16) + (mid_carry << 16) + lo_carry
+
+
 def add64(a_hi, a_lo, b_hi, b_lo):
     """(a_hi:a_lo) + (b_hi:b_lo) mod 2^64, as a uint32 pair."""
     lo = a_lo + b_lo

@@ -36,15 +36,18 @@ from ..ops import ntt as ntt_mod
 
 def _local_stage(ctx: MontCtx, x, w_plane, t: int, lane0: int, fwd: bool):
     """One butterfly stage on a local block; t < N_local. lane0 is the
-    global offset of this block (for the is_lo parity)."""
+    global offset of this block (for the is_lo parity). w_plane is the
+    (plain, shoup) twiddle pair [2, N_local]."""
     n_loc = x.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.uint32, (n_loc,), 0) + jnp.uint32(lane0)
     is_lo = (lane & jnp.uint32(t)) == 0
     xs = jnp.where(is_lo, jnp.roll(x, -t, axis=-1), jnp.roll(x, t, axis=-1))
     if fwd:
-        prod = ctx.mont_mul(w_plane, jnp.where(is_lo, xs, x))
+        prod = ctx.shoup_mul(w_plane[0], w_plane[1], jnp.where(is_lo, xs, x))
         return jnp.where(is_lo, ctx.add(x, prod), ctx.sub(xs, prod))
-    return jnp.where(is_lo, ctx.add(x, xs), ctx.mont_mul(w_plane, ctx.sub(xs, x)))
+    return jnp.where(
+        is_lo, ctx.add(x, xs), ctx.shoup_mul(w_plane[0], w_plane[1], ctx.sub(xs, x))
+    )
 
 
 def _cross_stage(ctx: MontCtx, x, w_plane, hop: int, axis: str, is_lo, fwd: bool):
@@ -54,9 +57,11 @@ def _cross_stage(ctx: MontCtx, x, w_plane, hop: int, axis: str, is_lo, fwd: bool
     perm = [(d, d ^ hop) for d in range(n_dev)]
     xs = jax.lax.ppermute(x, axis, perm)
     if fwd:
-        prod = ctx.mont_mul(w_plane, jnp.where(is_lo, xs, x))
+        prod = ctx.shoup_mul(w_plane[0], w_plane[1], jnp.where(is_lo, xs, x))
         return jnp.where(is_lo, ctx.add(x, prod), ctx.sub(xs, prod))
-    return jnp.where(is_lo, ctx.add(x, xs), ctx.mont_mul(w_plane, ctx.sub(xs, x)))
+    return jnp.where(
+        is_lo, ctx.add(x, xs), ctx.shoup_mul(w_plane[0], w_plane[1], ctx.sub(xs, x))
+    )
 
 
 def _fwd_local_block(ctx, x, w_fwd_local, n: int, n_dev: int, axis: str):
@@ -67,7 +72,7 @@ def _fwd_local_block(ctx, x, w_fwd_local, n: int, n_dev: int, axis: str):
     lane0 = dev * n_loc
     for s in range(logn):
         t = n >> (s + 1)
-        w_plane = w_fwd_local[s]
+        w_plane = w_fwd_local[:, s]
         if t >= n_loc:
             hop = t // n_loc
             is_lo = (dev & hop) == 0
@@ -84,7 +89,7 @@ def _inv_local_block(ctx, x, w_inv_local, n: int, n_dev: int, axis: str):
     lane0 = dev * n_loc
     for s in range(logn):
         t = 1 << s
-        w_plane = w_inv_local[s]
+        w_plane = w_inv_local[:, s]
         if t >= n_loc:
             hop = t // n_loc
             is_lo = (dev & hop) == 0
@@ -105,7 +110,7 @@ def _polymul_sp_fn(mesh: Mesh, n: int, q: int, axis: str, ndim: int):
     n_dev = mesh.shape[axis]
 
     spec_last = P(*([None] * (ndim - 1) + [axis]))
-    w_specs = P(None, axis)
+    w_specs = P(None, None, axis)
 
     @functools.partial(
         jax.shard_map,
@@ -127,7 +132,9 @@ def _polymul_sp_fn(mesh: Mesh, n: int, q: int, axis: str, ndim: int):
             )
             prod = ctx.mont_mul(ah, bh)
             y = _inv_local_block(ctx, prod, w_inv, n, n_dev, axis)
-            y = ctx.mont_mul(y, jnp.uint32(n_inv_scale))
+            y = ctx.shoup_mul(
+                jnp.uint32(n_inv_scale[0]), jnp.uint32(n_inv_scale[1]), y
+            )
             outs.append(y)
         return ring._crt_to_centered(outs)
 
