@@ -116,6 +116,49 @@ def _full_table(params, ck, x, key, n_deg, b, iters):
             f"({b / dt:12.1f} proofs/s batch={b})",
             file=sys.stderr,
         )
+    _ntt_roofline(params, n_deg, b, iters)
+
+
+def _ntt_roofline(params, n_deg, b, iters):
+    """NTT butterflies/s vs an *empirical* elementwise roofline.
+
+    Measured: full 3-prime forward transform of b*k polynomials (the
+    create_response working set). Roofline: sustained uint32 lane-op rate
+    measured with a dependent multiply-add chain on the same array shape,
+    divided by the ~36 lane-ops a roll-form Shoup butterfly pair costs
+    (6 16-bit mult + ~12 shuffle/add/select ops per lane, 2 lanes per
+    butterfly). This reports achieved fraction of what the VPU demonstrably
+    sustains on this chip, not a datasheet number.
+    """
+    from ringzk_tpu.ops.ntt import NUM_PRIMES, get_ring
+
+    ring = get_ring(n_deg, params.modulus)
+    polys = b * params.k
+    x = jax.random.randint(
+        jax.random.PRNGKey(2), (polys, n_deg), -params.q, params.q + 1, jnp.int32
+    )
+    fwd_f = jax.jit(lambda v: ring.fwd(v))
+    dt = _time_fn(fwd_f, (x,), iters)
+    logn = n_deg.bit_length() - 1
+    bflies = polys * NUM_PRIMES * (n_deg // 2) * logn
+    rate = bflies / dt
+
+    chain = 64
+    xu = x.astype(jnp.uint32)
+
+    def madd_chain(v):
+        for i in range(chain):
+            v = v * jnp.uint32(2654435761) + jnp.uint32(i)
+        return v
+
+    dt_peak = _time_fn(jax.jit(madd_chain), (xu,), iters)
+    lane_ops = x.size * chain * 2 / dt_peak     # sustained uint32 ops/s
+    roof = lane_ops / 36                         # butterflies/s ceiling
+    print(
+        f"{'ntt_fwd_butterflies/s':32s} {rate:12.3e} "
+        f"(empirical roofline {roof:.3e}, {100 * rate / roof:5.1f}%)",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":

@@ -8,13 +8,14 @@ matmuls run at hundreds of TOPS:
 
   * the key matrix A [rows, k, N] becomes a negacyclic block-circulant
     operator W [k*N, rows*N] (column (row, j) is the negacyclic shift of
-    a[row, t, :]), decomposed once into balanced base-128 digits
-    (d in [-64, 63], 5 digits cover any centered residue);
+    a[row, t, :]), decomposed once into balanced base-256 digits
+    (d in [-128, 127], 4 digits cover residues up to |v| <= 2.14e9, i.e.
+    any q/2 for the parameter sets in scope);
   * a batch of input vectors v [B, k, N] (small-bounded: ternary r needs 1
     digit, Gaussian y / response z need 3) is digit-decomposed on device;
   * out[dv, dw] = v_digits[dv] @ W_digits[dw] runs on the MXU with exact
-    int32 accumulation (|products| <= 64*64, contraction k*N <= 2^19 keeps
-    sums < 2^31);
+    int32 accumulation (|products| <= 128*128, contraction k*N <= 2^17
+    keeps sums < 2^31);
   * digit planes are grouped by total shift s = dv + dw (partial sums stay
     int32-exact) and folded mod q with one Montgomery multiply per shift.
 
@@ -37,17 +38,20 @@ import jax.numpy as jnp
 from .montgomery import MontCtx
 from .ntt import RingContext
 
-RADIX_BITS = 7
-RADIX = 1 << RADIX_BITS            # 128: balanced digits in [-64, 63]
-KEY_DIGITS = 5                     # covers |centered residue| < 2^32
+RADIX_BITS = 8
+RADIX = 1 << RADIX_BITS            # 256: balanced digits in [-128, 127]
+KEY_DIGITS = 4                     # covers |v| <= 2.14e9 >= q/2 for q < 2^32-12M
 
 
 def digits_for_bound(bound: int) -> int:
-    """Number of balanced base-128 digits covering |v| <= bound."""
+    """Number of balanced base-256 digits covering |v| <= bound.
+
+    Uses the symmetric-safe capacity 127*(1 + 256 + ...) (the negative side
+    reaches -128*(...) but the positive side caps at 127*(...))."""
     d = 1
-    cap = RADIX // 2               # 64
+    cap = RADIX // 2 - 1           # 127
     while cap < bound:
-        cap = cap * RADIX + RADIX // 2
+        cap = cap * RADIX + RADIX // 2 - 1
         d += 1
     return d
 
@@ -78,7 +82,7 @@ def balanced_digits(v, ndig: int):
             d = jnp.mod(v + half, jnp.int32(RADIX)) - half
         outs.append(d.astype(jnp.int8))
         if i != ndig - 1:
-            v = (v - d) >> RADIX_BITS   # exact: v - d divisible by 128
+            v = (v - d) >> RADIX_BITS   # exact: v - d divisible by 256
     return jnp.stack(outs, 0)
 
 
@@ -155,7 +159,7 @@ def matvec_digits(ring: RingContext, w_digits, rows: int, v, v_digits: int):
             p = prod[dv, :, dw]
             groups[s] = p if groups[s] is None else groups[s] + p
 
-    # fold digit groups mod q: out = sum_s G_s * 128^s
+    # fold digit groups mod q: out = sum_s G_s * RADIX^s
     acc = None
     for s, g in enumerate(groups):
         gu = qc.reduce_i32_centered(g)
@@ -166,7 +170,7 @@ def matvec_digits(ring: RingContext, w_digits, rows: int, v, v_digits: int):
 
 
 def _shift_mont(ring: RingContext, s: int) -> int:
-    """128^s * R mod q (host constant, cached on the ring)."""
+    """RADIX^s * R mod q (host constant, cached on the ring)."""
     cache = ring.__dict__.setdefault("_shift_mont_cache", {})
     if s not in cache:
         cache[s] = ring.qctx.h_to_mont(pow(RADIX, s, ring.q))
@@ -174,10 +178,11 @@ def _shift_mont(ring: RingContext, s: int) -> int:
 
 
 def digit_capacity(ndig: int) -> int:
-    """Max |v| exactly representable in ndig balanced base-128 digits."""
-    cap = RADIX // 2
+    """Max |v| exactly representable in ndig balanced base-256 digits
+    (symmetric-safe bound; see digits_for_bound)."""
+    cap = RADIX // 2 - 1
     for _ in range(ndig - 1):
-        cap = cap * RADIX + RADIX // 2
+        cap = cap * RADIX + RADIX // 2 - 1
     return cap
 
 

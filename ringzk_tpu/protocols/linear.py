@@ -151,17 +151,14 @@ def verify(
     vbound = params.verify_bound(n_deg)
 
     g_hat = ring.fwd_const(vctx.g)
-    # t + c1*d terms: wire values are int32, d is kappa-sparse ternary
-    num_d = ring.primes_needed((min(params.kappa, n_deg) + 1) * 2**31)
+    # c1*d terms: wire values are int32, d is kappa-sparse ternary; t is
+    # added in the integer domain afterwards (skips its forward transform)
+    num_d = ring.primes_needed(min(params.kappa, n_deg) * 2**31)
     d_hat = ring.fwd_const(vctx.d, num_d)
 
     def t_plus_c1d(t, c1):
-        return ring.inv(
-            ring.add_hat(
-                ring.fwd(t, num_d),
-                mat.scalar_mul_hat(ring, d_hat, ring.fwd(c1, num_d)),
-            )
-        )
+        c1d = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(c1, num_d)))
+        return zq.add_centered(ring.qctx, t, c1d)
 
     # a1.z == t + c1*d ; a1.zp == tp + c1p*d
     eq1 = mat.poly_equal(

@@ -150,20 +150,14 @@ def verify(
     # a1.z with z clamped to the verify bound (any passing z has every
     # |coeff| <= norm_2 <= 2 sigma sqrt(N); a failing z rejects regardless)
     lhs = matvec_key(ring, ck, "a1", z, params.verify_bound(n_deg))
-    # t + c1*d: c1 and t are arbitrary int32 from the wire, d is
-    # kappa-sparse ternary -> |integer coeffs| <= 2^31 + min(kappa,N)*2^31,
-    # comfortably inside a 2-prime subset. t and c1 share one stacked
-    # forward transform (halves the kernel launches).
-    num = ring.primes_needed((min(params.kappa, n_deg) + 1) * 2**31)
-    nr = vctx.t.shape[-2]
+    # c1*d: c1 is arbitrary int32 from the wire, d is kappa-sparse ternary
+    # -> |integer coeffs| <= min(kappa,N)*2^31, inside a 2-prime subset.
+    # t is then added in the integer domain (one centered mod-q add),
+    # skipping its forward transform entirely.
+    num = ring.primes_needed(min(params.kappa, n_deg) * 2**31)
     d_hat = ring.fwd_const(vctx.d, num)
-    tc1_hat = ring.fwd(jnp.concatenate([vctx.t, vctx.c1], axis=-2), num)
-    rhs = ring.inv(
-        ring.add_hat(
-            tc1_hat[..., :nr, :],
-            mat.scalar_mul_hat(ring, d_hat, tc1_hat[..., nr:, :]),
-        )
-    )
+    c1d = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(vctx.c1, num)))
+    rhs = zq.add_centered(ring.qctx, vctx.t, c1d)
     return ok_norm & mat.poly_equal(lhs, rhs, struct_axes=1)
 
 

@@ -185,29 +185,23 @@ def verify(
     vbound = params.verify_bound(n_deg)
 
     gs_hat = ring.fwd_const(vctx.gs)
-    num_d = ring.primes_needed((min(params.kappa, n_deg) + 1) * 2**31)
+    # c1*d products only ride the NTT; t terms are added in the integer
+    # domain afterwards (skips their forward transforms)
+    num_d = ring.primes_needed(min(params.kappa, n_deg) * 2**31)
     d_hat = ring.fwd_const(vctx.d, num_d)
 
     # per-i: a1.z_i == t_i + c1_i*d  (d broadcasts over V)
-    rhs1 = ring.inv(
-        ring.add_hat(
-            ring.fwd(vctx.ts, num_d),
-            mat.scalar_mul_hat(
-                ring, d_hat[..., None, :], ring.fwd(vctx.c1s, num_d)
-            ),
-        )
+    c1sd = ring.inv(
+        mat.scalar_mul_hat(ring, d_hat[..., None, :], ring.fwd(vctx.c1s, num_d))
     )
+    rhs1 = zq.add_centered(ring.qctx, vctx.ts, c1sd)
     eq1 = jnp.all(
         mat.poly_equal(matvec_key(ring, ck, "a1", zs, vbound), rhs1, struct_axes=1),
         axis=-1,
     )
     # a1.zp == tp + c1p*d
-    rhs2 = ring.inv(
-        ring.add_hat(
-            ring.fwd(vctx.tp, num_d),
-            mat.scalar_mul_hat(ring, d_hat, ring.fwd(vctx.c1p, num_d)),
-        )
-    )
+    c1pd = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(vctx.c1p, num_d)))
+    rhs2 = zq.add_centered(ring.qctx, vctx.tp, c1pd)
     eq2 = mat.poly_equal(matvec_key(ring, ck, "a1", zp, vbound), rhs2, struct_axes=1)
 
     # sum_i g_i*(a2.z_i) - a2.zp == (sum_i g_i*c2_i - c2p)*d + u

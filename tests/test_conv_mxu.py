@@ -31,7 +31,7 @@ def test_balanced_digits_roundtrip(rng):
     v = rng.integers(-(2**20), 2**20, size=(4, 32)).astype(np.int32)
     nd = conv_mxu.digits_for_bound(2**20)
     d = np.asarray(conv_mxu.balanced_digits(jnp.asarray(v), nd)).astype(np.int64)
-    recon = sum(d[i] * 128**i for i in range(nd))
+    recon = sum(d[i] * conv_mxu.RADIX**i for i in range(nd))
     np.testing.assert_array_equal(recon, v)
 
 
