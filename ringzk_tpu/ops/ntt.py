@@ -261,18 +261,16 @@ class RingContext:
         caller must guarantee |integer coeff| < prod(PRIMES[:num]) / 2; use
         :meth:`primes_needed` to pick num from a bound.
         """
+        if _use_pallas():
+            from .pallas import ntt_kernel
+
+            return ntt_kernel.fwd_all_pallas(self, jnp.asarray(x, jnp.int32), num)
         outs = []
-        use_pallas = _use_pallas()
         for i in range(num):
             ctx = self.mont[i]
             w_fwd = self._tables[i][3]
             xi = ctx.reduce_i32_centered(x)
-            if use_pallas:
-                from .pallas import ntt_kernel
-
-                outs.append(ntt_kernel.fwd_one_pallas(ctx, jnp.asarray(w_fwd), xi))
-            else:
-                outs.append(_fwd_one(ctx, jnp.asarray(w_fwd), xi))
+            outs.append(_fwd_one(ctx, jnp.asarray(w_fwd), xi))
         return jnp.stack(outs, axis=0)
 
     def fwd_const(self, x, num: int = NUM_PRIMES):
@@ -307,21 +305,15 @@ class RingContext:
         before the outer multiply, or reconstruction silently wraps mod M.
         """
         num = xhat.shape[0]
+        if _use_pallas():
+            from .pallas import ntt_kernel
+
+            return ntt_kernel.inv_all_pallas(self, xhat)
         ys = []
-        use_pallas = _use_pallas()
         for i in range(num):
             ctx = self.mont[i]
             n_inv_scale, w_inv = self._tables[i][2], self._tables[i][4]
-            if use_pallas:
-                from .pallas import ntt_kernel
-
-                ys.append(
-                    ntt_kernel.inv_one_pallas(
-                        ctx, jnp.asarray(w_inv), n_inv_scale, xhat[i]
-                    )
-                )
-            else:
-                ys.append(_inv_one(ctx, jnp.asarray(w_inv), n_inv_scale, xhat[i]))
+            ys.append(_inv_one(ctx, jnp.asarray(w_inv), n_inv_scale, xhat[i]))
         return self._crt_to_centered(ys)
 
     def _crt_to_centered(self, ys):

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import u64
 from ..montgomery import MontCtx
 
 TILE_B = 256
@@ -74,6 +75,162 @@ def _inv_kernel(ctx: MontCtx, n: int, n_inv_scale, x_ref, w_ref, o_ref):
     o_ref[...] = _shoup_mul_inline(
         ctx, np.uint32(n_inv_scale[0]), np.uint32(n_inv_scale[1]), x
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-prime kernels with Harvey-style lazy reduction.
+#
+# All butterflies keep values in [0, 4p) (4p < 2^32 for every NTT prime):
+# each stage first folds its input into [0, 2p) with one conditional
+# subtract, multiplies with a *lazy* Shoup product (result in [0, 2p), no
+# conditional subtract), and writes x+prod / xs+2p-prod back without modular
+# reduction. Only the final stage output is fully reduced to [0, p). This
+# drops ~2-3 lane ops per butterfly vs the strict per-stage reduction and is
+# bit-identical after the final fold (validated against the strict XLA path
+# in tests/test_pallas.py).
+#
+# The per-prime loop lives INSIDE one kernel: the int32 input block is read
+# from HBM once and all CRT images are produced in VMEM (fwd), resp. all
+# per-prime inverse transforms + the Garner CRT reconstruction run in VMEM
+# and only the final centered int32 leaves the kernel (inv).
+# ---------------------------------------------------------------------------
+
+
+def _lazy_shoup(ctx: MontCtx, w, w_shoup, x):
+    """w*x mod p in [0, 2p), any uint32 x (no trailing conditional subtract)."""
+    q = u64.mul_hi(w_shoup, x)
+    return w * x - q * np.uint32(ctx.p)
+
+
+def _csub(x, m: int):
+    """x - m if x >= m else x (uint32 arrays, static m)."""
+    mm = np.uint32(m)
+    return x - jnp.where(x >= mm, mm, np.uint32(0))
+
+
+def _fwd_stages_lazy(ctx: MontCtx, n: int, x, w):
+    """All forward butterfly stages, lazy form: x uint32 [..., N] in [0, 2p)
+    -> fully reduced [0, p). w: [2, logn, N] (plain, shoup) planes."""
+    logn = n.bit_length() - 1
+    two_p = 2 * ctx.p
+    lane = jax.lax.broadcasted_iota(jnp.uint32, x.shape, x.ndim - 1)
+    for s in range(logn):
+        if s:
+            x = _csub(x, two_p)            # [0, 4p) -> [0, 2p)
+        t = n >> (s + 1)
+        is_lo = (lane & np.uint32(t)) == 0
+        xs = jnp.where(is_lo, _roll_lanes(x, -t), _roll_lanes(x, t))
+        prod = _lazy_shoup(ctx, w[0, s, :], w[1, s, :], jnp.where(is_lo, xs, x))
+        x = jnp.where(is_lo, x + prod, xs + np.uint32(two_p) - prod)
+    return _csub(_csub(x, two_p), ctx.p)
+
+
+def _inv_stages_lazy(ctx: MontCtx, n: int, n_inv_scale, x, w):
+    """All inverse butterfly stages + N^{-1} scaling, lazy form: x uint32
+    [..., N] in [0, 2p) -> fully reduced [0, p)."""
+    logn = n.bit_length() - 1
+    two_p = 2 * ctx.p
+    lane = jax.lax.broadcasted_iota(jnp.uint32, x.shape, x.ndim - 1)
+    for s in range(logn):
+        if s:
+            x = _csub(x, two_p)
+        t = 1 << s
+        is_lo = (lane & np.uint32(t)) == 0
+        xs = jnp.where(is_lo, _roll_lanes(x, -t), _roll_lanes(x, t))
+        x = jnp.where(
+            is_lo,
+            x + xs,
+            _lazy_shoup(ctx, w[0, s, :], w[1, s, :], xs + np.uint32(two_p) - x),
+        )
+    x = _csub(x, two_p)
+    return ctx.shoup_mul(np.uint32(n_inv_scale[0]), np.uint32(n_inv_scale[1]), x)
+
+
+def _fwd_all_kernel(ring, num: int, n: int, x_ref, w_ref, o_ref):
+    """int32 centered block -> all ``num`` CRT NTT images, one HBM read."""
+    xi = x_ref[...]
+    for i in range(num):
+        ctx = ring.mont[i]
+        xr = ctx.reduce_i32_centered(xi)       # [0, p) c [0, 2p)
+        o_ref[i] = _fwd_stages_lazy(ctx, n, xr, w_ref[i])
+
+
+def _inv_all_kernel(ring, num: int, n: int, x_ref, w_ref, o_ref):
+    """All per-prime inverse NTTs + Garner CRT to centered int32 in VMEM."""
+    ys = []
+    for i in range(num):
+        ctx = ring.mont[i]
+        tbl = ring._tables[i]
+        ys.append(_inv_stages_lazy(ctx, n, tbl[2], x_ref[i], w_ref[i]))
+    o_ref[...] = ring._crt_to_centered(ys)
+
+
+def _stacked_tables(ring, num: int, fwd: bool):
+    idx = 3 if fwd else 4
+    return jnp.stack([jnp.asarray(ring._tables[i][idx]) for i in range(num)], 0)
+
+
+def fwd_all_pallas(ring, x, num: int, interpret: bool = False):
+    """Centered int32 [..., N] -> plain NTT domain uint32 [num, ..., N],
+    all primes fused in one kernel (single HBM read of x)."""
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    x2d = x.reshape((-1, n))
+    rows = x2d.shape[0]
+    tile = min(TILE_B, rows)
+    pad_rows = (-rows) % tile
+    if pad_rows:
+        x2d = jnp.pad(x2d, ((0, pad_rows), (0, 0)))
+    w = _stacked_tables(ring, num, fwd=True)
+    logn = n.bit_length() - 1
+    out = pl.pallas_call(
+        functools.partial(_fwd_all_kernel, ring, num, n),
+        grid=(pl.cdiv(x2d.shape[0], tile),),
+        in_specs=[
+            pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (num, 2, logn, n), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (num, tile, n), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((num, x2d.shape[0], n), jnp.uint32),
+        interpret=interpret,
+    )(x2d, w)
+    return out[:, :rows].reshape((num,) + lead + (n,))
+
+
+def inv_all_pallas(ring, xhat, interpret: bool = False):
+    """Plain NTT domain uint32 [num, ..., N] -> centered int32 [..., N]:
+    per-prime INTTs + Garner CRT + centered mod-q fold in one kernel."""
+    num = xhat.shape[0]
+    n = xhat.shape[-1]
+    lead = xhat.shape[1:-1]
+    x2d = xhat.reshape((num, -1, n))
+    rows = x2d.shape[1]
+    tile = min(TILE_B, rows)
+    pad_rows = (-rows) % tile
+    if pad_rows:
+        x2d = jnp.pad(x2d, ((0, 0), (0, pad_rows), (0, 0)))
+    w = _stacked_tables(ring, num, fwd=False)
+    logn = n.bit_length() - 1
+    out = pl.pallas_call(
+        functools.partial(_inv_all_kernel, ring, num, n),
+        grid=(pl.cdiv(x2d.shape[1], tile),),
+        in_specs=[
+            pl.BlockSpec(
+                (num, tile, n), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (num, 2, logn, n), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((x2d.shape[1], n), jnp.int32),
+        interpret=interpret,
+    )(x2d, w)
+    return out[:rows].reshape(lead + (n,))
 
 
 def _call(kernel, x2d, w, n, interpret):

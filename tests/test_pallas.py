@@ -53,3 +53,56 @@ def test_pallas_nondivisible_batch(rng):
     want = np.asarray(ntt._fwd_one(ctx, w_fwd, xi))
     got = np.asarray(ntt_kernel.fwd_one_pallas(ctx, w_fwd, xi, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("n", [128, 512])
+@pytest.mark.parametrize("num", [1, 2, 3])
+def test_pallas_fused_fwd_matches_xla(rng, n, num):
+    """fwd_all_pallas (multi-prime, lazy reduction, in-kernel centered
+    reduce) must equal the strict XLA fwd() bit-for-bit."""
+    import os
+    ring = ntt.get_ring(n, Q)
+    x = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(5, n)), jnp.int32)
+    os.environ["RINGZK_PALLAS"] = "0"
+    try:
+        want = np.asarray(ring.fwd(x, num))
+    finally:
+        del os.environ["RINGZK_PALLAS"]
+    got = np.asarray(ntt_kernel.fwd_all_pallas(ring, x, num, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("n", [128, 512])
+@pytest.mark.parametrize("num", [1, 3])
+def test_pallas_fused_inv_matches_xla(rng, n, num):
+    """inv_all_pallas (INTTs + Garner CRT + centered fold in VMEM) must
+    equal the strict XLA inv() bit-for-bit, including on products."""
+    import os
+    ring = ntt.get_ring(n, Q)
+    a = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(4, n)), jnp.int32)
+    b = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(4, n)), jnp.int32)
+    os.environ["RINGZK_PALLAS"] = "0"
+    try:
+        if num == 3:
+            xh = ring.dot_hat(ring.fwd_const(a), ring.fwd(b))
+        else:
+            xh = ring.fwd(jnp.asarray(a % 7, jnp.int32), num)
+        want = np.asarray(ring.inv(xh))
+    finally:
+        del os.environ["RINGZK_PALLAS"]
+    got = np.asarray(ntt_kernel.inv_all_pallas(ring, xh, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_fused_nondivisible_batch(rng):
+    import os
+    n = 128
+    ring = ntt.get_ring(n, Q)
+    x = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(3, 7, n)), jnp.int32)
+    os.environ["RINGZK_PALLAS"] = "0"
+    try:
+        want = np.asarray(ring.fwd(x))
+    finally:
+        del os.environ["RINGZK_PALLAS"]
+    got = np.asarray(ntt_kernel.fwd_all_pallas(ring, x, ntt.NUM_PRIMES, interpret=True))
+    np.testing.assert_array_equal(got, want)
