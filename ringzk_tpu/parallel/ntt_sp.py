@@ -100,16 +100,24 @@ def _inv_local_block(ctx, x, w_inv_local, n: int, n_dev: int, axis: str):
 
 
 @functools.lru_cache(maxsize=None)
-def _polymul_sp_fn(mesh: Mesh, n: int, q: int, axis: str, ndim: int):
+def _polymul_sp_fn(
+    mesh: Mesh, n: int, q: int, axis: str, ndim: int, batch_axis: str | None
+):
     """Build (once per mesh/N/q/ndim) the jitted shard_map program.
 
     Jitting here is essential: an un-jitted shard_map runs its body
     eagerly, dispatching every butterfly op across the mesh one at a time
-    -- minutes of pure tracing overhead per call at large N."""
+    -- minutes of pure tracing overhead per call at large N.
+
+    batch_axis: optional second mesh axis sharding the LEADING dim (dp x sp
+    composition: independent polynomial batches split over "dp" while each
+    ring is split over "sp"; the ppermute exchanges stay within each dp
+    group because they name only the sp axis)."""
     ring = ntt_mod.get_ring(n, q)
     n_dev = mesh.shape[axis]
 
-    spec_last = P(*([None] * (ndim - 1) + [axis]))
+    lead = [batch_axis] + [None] * (ndim - 2) if batch_axis else [None] * (ndim - 1)
+    spec_last = P(*(lead + [axis]))
     w_specs = P(None, None, axis)
 
     @functools.partial(
@@ -141,20 +149,32 @@ def _polymul_sp_fn(mesh: Mesh, n: int, q: int, axis: str, ndim: int):
     return jax.jit(body)
 
 
-def polymul_sp(mesh: Mesh, a, b, n: int, q: int, axis: str = "sp"):
+def polymul_sp(
+    mesh: Mesh,
+    a,
+    b,
+    n: int,
+    q: int,
+    axis: str = "sp",
+    batch_axis: str | None = None,
+):
     """Exact negacyclic product with the coefficient axis sharded over
     ``axis``. a (const operand) and b: [..., N] centered int32, N sharded.
 
     Demonstration/path for very large N; per-prime NTTs run under one
-    shard_map with log2(n_dev) ppermute exchanges per transform.
+    shard_map with log2(n_dev) ppermute exchanges per transform. Pass
+    ``batch_axis`` (e.g. "dp" on a ("dp", "sp") mesh) to additionally shard
+    the leading batch dim -- the dp x sp composition.
     """
     ring = ntt_mod.get_ring(n, q)
     n_dev = mesh.shape[axis]
     if n % n_dev or (n // n_dev) & (n // n_dev - 1):
         raise ValueError("N / n_dev must be a power of two")
+    if batch_axis and a.ndim < 2:
+        raise ValueError("batch_axis requires a leading batch dim")
 
     tables = []
     for i in range(ntt_mod.NUM_PRIMES):
         _, _, _, w_fwd, w_inv = ring._tables[i]
         tables += [jnp.asarray(w_fwd), jnp.asarray(w_inv)]
-    return _polymul_sp_fn(mesh, n, q, axis, a.ndim)(a, b, *tables)
+    return _polymul_sp_fn(mesh, n, q, axis, a.ndim, batch_axis)(a, b, *tables)

@@ -114,3 +114,25 @@ def test_sharded_matches_unsharded(mesh8):
     np.testing.assert_array_equal(np.asarray(pcom_u.c.c), np.asarray(pcom_s.c.c))
     np.testing.assert_array_equal(np.asarray(pcom_u.t), np.asarray(pcom_s.t))
     np.testing.assert_array_equal(np.asarray(rctx_u.y), np.asarray(rctx_s.y))
+
+
+def test_sp_dp_composed_polymul(rng):
+    """dp x sp composition: independent polynomial batches sharded over
+    "dp" while each ring's coefficient axis is sharded over "sp" -- one
+    shard_map, ppermutes confined to the sp axis."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (run via scripts/pytest-cpu)")
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh2d = Mesh(devs, ("dp", "sp"))
+    n_sp = 256
+    a = rng.integers(-(Q // 2), Q // 2 + 1, size=(4, n_sp))
+    b = rng.integers(-(Q // 2), Q // 2 + 1, size=(4, n_sp))
+    got = np.asarray(
+        ntt_sp.polymul_sp(
+            mesh2d, jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32),
+            n_sp, Q, batch_axis="dp",
+        )
+    )
+    ring = ntt.get_ring(n_sp, Q)
+    want = np.asarray(ring.polymul(jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32)))
+    np.testing.assert_array_equal(got, want)
