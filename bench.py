@@ -120,15 +120,15 @@ def _full_table(params, ck, x, key, n_deg, b, iters):
 
 
 def _ntt_roofline(params, n_deg, b, iters):
-    """NTT butterflies/s vs an *empirical* elementwise roofline.
+    """NTT throughput report: butterflies/s, ns/transform, effective HBM
+    bandwidth of the fused kernel (one int32 read + NUM_PRIMES uint32
+    writes per forward transform).
 
-    Measured: full 3-prime forward transform of b*k polynomials (the
-    create_response working set). Roofline: sustained uint32 lane-op rate
-    measured with a dependent multiply-add chain on the same array shape,
-    divided by the ~36 lane-ops a roll-form Shoup butterfly pair costs
-    (6 16-bit mult + ~12 shuffle/add/select ops per lane, 2 lanes per
-    butterfly). This reports achieved fraction of what the VPU demonstrably
-    sustains on this chip, not a datasheet number.
+    No %-of-peak figure is printed: on this remote (axon-tunneled) backend,
+    elementwise micro-kernels measure dispatch/memory behavior rather than
+    sustained VPU rate (calibration chains report physically impossible
+    op/s), so any "roofline fraction" derived from them would be fiction.
+    scripts/calibrate_vpu.py documents the attempts.
     """
     from ringzk_tpu.ops.ntt import NUM_PRIMES, get_ring
 
@@ -142,28 +142,10 @@ def _ntt_roofline(params, n_deg, b, iters):
     logn = n_deg.bit_length() - 1
     bflies = polys * NUM_PRIMES * (n_deg // 2) * logn
     rate = bflies / dt
-
-    chain = 32
-    lanes = 4  # independent chains: measure throughput, not op latency
-    xu = x.astype(jnp.uint32)
-
-    def madd_chains(v):
-        vs = [v + jnp.uint32(i) for i in range(lanes)]
-        for i in range(chain):
-            vs = [u * jnp.uint32(2654435761 + i) + jnp.uint32(i) for u in vs]
-        out = vs[0]
-        for u in vs[1:]:
-            out = out ^ u
-        return out
-
-    dt_peak = _time_fn(jax.jit(madd_chains), (xu,), iters)
-    lane_ops = x.size * chain * lanes * 2 / dt_peak  # sustained uint32 ops/s
-    # A roll-form lazy-Shoup butterfly costs ~52 lane ops per butterfly pair
-    # (2 lanes x [csub + roll + parity + mul_hi(4 mult) + 2 mult + arith]).
-    roof = lane_ops / 52
+    gbps = x.size * 4 * (1 + NUM_PRIMES) / dt / 1e9
     print(
         f"{'ntt_fwd_butterflies/s':32s} {rate:12.3e} "
-        f"(empirical VPU roofline {roof:.3e}, {100 * rate / roof:5.1f}%)",
+        f"({dt / polys * 1e9:8.1f} ns/transform, {gbps:7.1f} GB/s effective)",
         file=sys.stderr,
     )
 

@@ -190,3 +190,31 @@ def build_operator_digits(a: np.ndarray, ring: RingContext):
     """[rows, k, N] int32 -> ([kN, D*rowsN] int8 jnp array, rows)."""
     op = KeyOperator(np.asarray(a), ring)
     return op.w_digits
+
+
+def build_operator_digits_device(a, ring: RingContext):
+    """Device-side KeyOperator construction: same [kN, KEY_DIGITS*rowsN]
+    int8 operator as KeyOperator/_balanced_digits_host, but computed with
+    jnp ops on a device-resident key (bit-identical, tested).
+
+    Exists because pulling the key to the host (np.asarray) is a
+    device->host transfer, and on the axon TPU backend a single D2H
+    permanently degrades every subsequent dispatch ~100x (the tunnel drops
+    out of async pipelining). keygen must therefore never leave the device.
+    """
+    a = jnp.asarray(a, jnp.int32)
+    if a.ndim != 3:
+        raise ValueError(f"key operator needs [rows, k, N], got {a.shape}")
+    rows, k, n = a.shape
+    if k * n * (RADIX // 2) ** 2 >= 2**31:
+        raise ValueError("contraction too long for exact int32 accumulation")
+
+    # W[t*N + i, row*N + j] = sign * a[row, t, (j - i) mod N]  (static gather)
+    i_idx = np.arange(n)[:, None]
+    j_idx = np.arange(n)[None, :]
+    shift = jnp.asarray((j_idx - i_idx) % n)            # [N, N] indices
+    sign = jnp.asarray(np.where(i_idx <= j_idx, 1, -1), jnp.int32)
+    blk = a[:, :, shift] * sign                          # [rows, k, N, N]
+    w = jnp.transpose(blk, (1, 2, 0, 3)).reshape(k * n, rows * n)
+    wd = balanced_digits(w, KEY_DIGITS)                  # [D, kN, rowsN]
+    return jnp.transpose(wd, (1, 0, 2)).reshape(k * n, KEY_DIGITS * rows * n)

@@ -34,6 +34,22 @@ from ..params import Params
 MXU_MAX_N = 2048
 
 
+def _use_mxu() -> bool:
+    """Switch for the int8 MXU digit matvec (RINGZK_MXU=0 to disable).
+
+    Default on: measured END-TO-END on the target TPU (full open-proof
+    roundtrip, N=512, batch 8192, fresh process per config), the digit
+    matmul path sustains 459k verified proofs/s vs 165k for the CRT-NTT
+    key matvec -- inside the fused protocol program the matvecs ride the
+    MXU concurrently with the VPU-bound NTT/sampling work instead of
+    serializing into it. (Isolated micro-benches rank the two paths the
+    other way; trust the program-level numbers.) Both paths are
+    bit-identical (tests/test_conv_mxu.py)."""
+    import os
+
+    return os.environ.get("RINGZK_MXU", "1") == "1"
+
+
 class CommitmentKey(NamedTuple):
     """a1: [..., n, k, N], a2: [..., l, k, N] int32; *_hat: NTT-domain
     uint32 caches with leading prime axis [P, ..., rows, k, N]; *_dig:
@@ -102,16 +118,20 @@ def keygen(key, params: Params, n_deg: int, batch_shape=()) -> CommitmentKey:
     i_l = jnp.broadcast_to(eye_poly(l), batch_shape + (l, l, n_deg))
     a2 = jnp.concatenate([z_ln, i_l, a2p], axis=-2)
 
-    # MXU digit operators: only for a single concrete key of moderate N
-    # (per-key host preprocessing; batched keys use the NTT path)
+    # MXU digit operators (RINGZK_MXU=0 to disable): single concrete key
+    # of moderate N only (batched keys use the NTT path). See _use_mxu for
+    # the measured end-to-end rationale.
     a1_dig = a2_dig = None
     if (
-        batch_shape == ()
+        _use_mxu()
+        and batch_shape == ()
         and n_deg <= MXU_MAX_N
         and k * n_deg * (conv_mxu.RADIX // 2) ** 2 < 2**31
     ):
-        a1_dig = conv_mxu.KeyOperator(np.asarray(a1), ring).w_digits
-        a2_dig = conv_mxu.KeyOperator(np.asarray(a2), ring).w_digits
+        # device-side build: a D2H here would permanently degrade axon
+        # dispatch (see conv_mxu.build_operator_digits_device docstring)
+        a1_dig = conv_mxu.build_operator_digits_device(a1, ring)
+        a2_dig = conv_mxu.build_operator_digits_device(a2, ring)
 
     # keys are multiplicative constants -> cached in const (Montgomery) form
     return CommitmentKey(
