@@ -71,18 +71,29 @@ def _balanced_digits_host(a: np.ndarray, ndig: int) -> np.ndarray:
 def balanced_digits(v, ndig: int):
     """On-device balanced digit decomposition of int32 [...] -> [ndig, ...]
     int8. Caller guarantees |v| fits ndig digits (clamp first if adversarial;
-    see protocols for the clamp-is-sound argument)."""
+    see protocols for the clamp-is-sound argument).
+
+    Closed form: v = sum_i d_i 256^i with d_i in [-128, 127] iff
+    v + B = sum_i (d_i + 128) 256^i with B = sum_i 128*256^i -- i.e. the
+    balanced digits are the *unsigned* base-256 digits of the biased value,
+    minus 128. Each digit is therefore an independent shift/mask of one
+    uint32 (v + B fits: capacity(ndig) + B = 256^ndig - 1 <= 2^32 - 1),
+    with no sequential borrow chain -- XLA fuses all digits into a single
+    pass with int8 outputs instead of materializing int32 intermediates.
+    """
     v = jnp.asarray(v, jnp.int32)
-    outs = []
-    half = jnp.int32(RADIX // 2)
-    for i in range(ndig):
-        if i == ndig - 1:
-            d = v
-        else:
-            d = jnp.mod(v + half, jnp.int32(RADIX)) - half
-        outs.append(d.astype(jnp.int8))
-        if i != ndig - 1:
-            v = (v - d) >> RADIX_BITS   # exact: v - d divisible by 256
+    bias = sum((RADIX // 2) << (RADIX_BITS * i) for i in range(ndig))
+    u = jax.lax.bitcast_convert_type(v, jnp.uint32) + np.uint32(bias)
+    half = np.int32(RADIX // 2)
+    outs = [
+        (
+            ((u >> np.uint32(RADIX_BITS * i)) & np.uint32(RADIX - 1)).astype(
+                jnp.int32
+            )
+            - half
+        ).astype(jnp.int8)
+        for i in range(ndig)
+    ]
     return jnp.stack(outs, 0)
 
 

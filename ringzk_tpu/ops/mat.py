@@ -173,7 +173,10 @@ def equal_mod_q_hat(ring: RingContext, a_hat, b_hat, struct_axes=1):
 
 def poly_equal(a, b, struct_axes=2):
     """Exact equality of centered poly stacks, reduced over the trailing
-    ``struct_axes`` structure axes plus the ring axis."""
+    ``struct_axes`` structure axes plus the ring axis.
+
+    (An integer XOR/OR-reduce formulation was tried and measured ~4-6%
+    slower end-to-end than the pred reduce on the target TPU.)"""
     eq = a == b
     for _ in range(struct_axes + 1):
         eq = jnp.all(eq, axis=-1)
