@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -402,6 +403,36 @@ class RingContext:
     def polymul(self, a, b):
         """Exact negacyclic product of centered int32 polys [..., N] mod q."""
         return self.inv(self.dot_hat(self.fwd_const(a), self.fwd(b)))
+
+    def scalar_mul_add(self, d, m, t, num: int = NUM_PRIMES):
+        """Fused ``t + d * m`` mod q, centered int32.
+
+        d: [..., N] scalar polynomial broadcast over the rows of
+        m, t: [..., rows, N]. The hot pair of every sigma protocol --
+        ``z = y + d*r`` in create_response and ``t + c1*d`` in verify
+        (/root/reference/src/prove/open.rs:107-117,162-174) -- computed in
+        one Pallas kernel on TPU (transform, pointwise product, inverse,
+        Garner, and the mod-q add never leave VMEM); falls back to the
+        composed fwd_const/fwd/inv + add_centered chain elsewhere.
+        ``num`` is the caller's exact CRT bound for d*m, as in polymul.
+
+        The single-kernel Pallas form is opt-in (RINGZK_FUSED_SCALAR=1):
+        measured end-to-end on the target TPU it is slightly SLOWER than
+        the composed chain (450k vs 459k proofs/s headline) -- recomputing
+        the scalar transform per row and the serialized in-kernel stage
+        chain cost more than the HBM round-trips they save."""
+        from . import zq
+
+        d = jnp.asarray(d, jnp.int32)
+        m = jnp.asarray(m, jnp.int32)
+        t = jnp.asarray(t, jnp.int32)
+        if os.environ.get("RINGZK_FUSED_SCALAR") == "1" and _use_pallas():
+            from .pallas import ntt_kernel
+
+            return ntt_kernel.scalar_mul_add_pallas(self, d, m, t, num)
+        d_hat = self.fwd_const(d, num)
+        dm = self.inv(self.dot_hat(d_hat[..., None, :], self.fwd(m, num)))
+        return zq.add_centered(self.qctx, t, dm)
 
 
 @functools.lru_cache(maxsize=None)

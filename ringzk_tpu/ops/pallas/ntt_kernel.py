@@ -233,6 +233,101 @@ def inv_all_pallas(ring, xhat, interpret: bool = False):
     return out[:rows].reshape(lead + (n,))
 
 
+def _scalar_mul_add_kernel(
+    ring, num: int, n: int, d_ref, m_ref, t_ref, w_ref, wi_ref, o_ref
+):
+    """out = t + d * m  (mod q, centered) for ONE row of m per grid step:
+    per-prime forward NTTs of the scalar d and the row, pointwise Montgomery
+    products, inverse NTTs, Garner CRT, and the centered mod-q add of t --
+    one HBM read per operand, one write, zero intermediate round-trips.
+    The grid's second axis walks the rows of m (d's transform is recomputed
+    per row: ~1/(num+1) of the work, the price of keeping the VMEM
+    footprint at a full-size batch tile).
+
+    d: [tile, N]; m, t blocks: [tile, 1, N] int32 centered. Exactness
+    contract is the caller's (same as RingContext.polymul): the CRT subset
+    ``num`` must cover the integer product bound of d*m.
+    """
+    d = d_ref[...]
+    imgs = []
+    for i in range(num):
+        ctx = ring.mont[i]
+        dr = ctx.reduce_i32_centered(d)
+        dhat = _fwd_stages_lazy(ctx, n, dr, w_ref[i])
+        dhat_m = ctx.to_mont(dhat)  # const form: product lands in plain form
+        mr = ctx.reduce_i32_centered(m_ref[0])
+        mhat = _fwd_stages_lazy(ctx, n, mr, w_ref[i])
+        prod = ctx.mont_mul(dhat_m, mhat)
+        imgs.append(_inv_stages_lazy(ctx, n, ring._tables[i][2], prod, wi_ref[i]))
+    qc = ring.qctx
+    qq = np.uint32(ring.q)
+    dm = ring._crt_to_centered(imgs)  # centered int32
+    t = t_ref[0]
+    ua = jax.lax.bitcast_convert_type(dm, jnp.uint32) + jnp.where(
+        dm < 0, qq, np.uint32(0)
+    )
+    ub = jax.lax.bitcast_convert_type(t, jnp.uint32) + jnp.where(
+        t < 0, qq, np.uint32(0)
+    )
+    o_ref[0] = ring.to_centered(qc.add(ua, ub))
+
+
+def scalar_mul_add_pallas(ring, d, m, t, num: int, interpret: bool = False):
+    """Fused ``t + d * m`` over the ring (centered int32), Pallas.
+
+    d: [..., N]; m, t: [..., rows, N] with the same batch prefix. Replaces
+    inv(scalar_mul_hat(fwd_const(d), fwd(m))) + add_centered -- the hot
+    pair in create_response (z = y + d*r) and verify (t + c1*d) -- with a
+    single kernel launch (measured: the unfused chain is 6 kernel
+    dispatches + 4 HBM round-trips of the [B, rows, N] working set).
+    """
+    n = d.shape[-1]
+    assert m.shape[-1] == n and m.shape[:-2] == d.shape[:-1], (d.shape, m.shape)
+    assert t.shape == m.shape, (t.shape, m.shape)
+    rows = m.shape[-2]
+    lead = d.shape[:-1]
+    d2 = d.reshape((-1, n))
+    # rows axis leads (a grid dimension): blocks are [1, tile, N], keeping
+    # the TPU-required (8, 128)-divisible trailing dims at full tile size
+    m3 = jnp.moveaxis(m.reshape((-1, rows, n)), 1, 0)
+    t3 = jnp.moveaxis(t.reshape((-1, rows, n)), 1, 0)
+    b = d2.shape[0]
+    tile = min(TILE_B, b)
+    pad_rows = (-b) % tile
+    if pad_rows:
+        d2 = jnp.pad(d2, ((0, pad_rows), (0, 0)))
+        m3 = jnp.pad(m3, ((0, 0), (0, pad_rows), (0, 0)))
+        t3 = jnp.pad(t3, ((0, 0), (0, pad_rows), (0, 0)))
+    w = _stacked_tables(ring, num, fwd=True)
+    wi = _stacked_tables(ring, num, fwd=False)
+    logn = n.bit_length() - 1
+    out = pl.pallas_call(
+        functools.partial(_scalar_mul_add_kernel, ring, num, n),
+        grid=(pl.cdiv(d2.shape[0], tile), rows),
+        in_specs=[
+            pl.BlockSpec((tile, n), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile, n), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile, n), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (num, 2, logn, n), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (num, 2, logn, n), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, n), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, d2.shape[0], n), jnp.int32),
+        interpret=interpret,
+    )(d2, m3, t3, w, wi)
+    return jnp.moveaxis(out[:, :b], 0, 1).reshape(lead + (rows, n))
+
+
 def _call(kernel, x2d, w, n, interpret):
     b = x2d.shape[0]
     tile = min(TILE_B, b)

@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import mat, sampling, zq
+from ..ops import mat, sampling
 from ..ops.ntt import get_ring
 from ..params import Params
 from .commit import (
@@ -127,9 +127,7 @@ def create_response(
     # d*r has |integer coeffs| <= min(kappa, N) * b: a small-bound product,
     # so a CRT prime subset (usually a single prime) suffices exactly
     num = ring.primes_needed(min(params.kappa, n_deg) * params.b)
-    d_hat = ring.fwd_const(challenge.d, num)
-    dr = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(ctx.opening.r, num)))
-    z = zq.add_centered(ring.qctx, ctx.y, dr)
+    z = ring.scalar_mul_add(challenge.d, ctx.opening.r, ctx.y, num)
     return OpenProofResponse(z=z)
 
 
@@ -153,11 +151,9 @@ def verify(
     # c1*d: c1 is arbitrary int32 from the wire, d is kappa-sparse ternary
     # -> |integer coeffs| <= min(kappa,N)*2^31, inside a 2-prime subset.
     # t is then added in the integer domain (one centered mod-q add),
-    # skipping its forward transform entirely.
+    # skipping its forward transform entirely -- fused with the product.
     num = ring.primes_needed(min(params.kappa, n_deg) * 2**31)
-    d_hat = ring.fwd_const(vctx.d, num)
-    c1d = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(vctx.c1, num)))
-    rhs = zq.add_centered(ring.qctx, vctx.t, c1d)
+    rhs = ring.scalar_mul_add(vctx.d, vctx.c1, vctx.t, num)
     return ok_norm & mat.poly_equal(lhs, rhs, struct_axes=1)
 
 

@@ -106,3 +106,33 @@ def test_pallas_fused_nondivisible_batch(rng):
         del os.environ["RINGZK_PALLAS"]
     got = np.asarray(ntt_kernel.fwd_all_pallas(ring, x, ntt.NUM_PRIMES, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("n,rows,num", [(128, 3, 1), (128, 1, 2), (512, 3, 3)])
+def test_pallas_scalar_mul_add_matches_composed(rng, n, rows, num):
+    """Fused t + d*m kernel == composed fwd_const/fwd/inv + centered add,
+    bit-for-bit, for every prime-subset size and row count used by the
+    protocols (response: rows=k num=1; verify rhs: rows=n num=2)."""
+    import os
+    from ringzk_tpu.ops import zq
+
+    ring = ntt.get_ring(n, Q)
+    # keep |d*m| inside the num-prime CRT bound: ternary d for num=1
+    dmax = 1 if num == 1 else Q // 2
+    d = jnp.asarray(rng.integers(-dmax, dmax + 1, size=(5, n)), jnp.int32)
+    m = jnp.asarray(
+        rng.integers(-1 if num < 3 else -(Q // 2), (1 if num < 3 else Q // 2) + 1,
+                     size=(5, rows, n)), jnp.int32)
+    t = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(5, rows, n)), jnp.int32)
+    os.environ["RINGZK_PALLAS"] = "0"
+    try:
+        dm = ring.inv(ring.dot_hat(ring.fwd_const(d, num)[..., None, :],
+                                   ring.fwd(m, num)))
+        want = np.asarray(zq.add_centered(ring.qctx, t, dm))
+        via_method = np.asarray(ring.scalar_mul_add(d, m, t, num))
+    finally:
+        del os.environ["RINGZK_PALLAS"]
+    np.testing.assert_array_equal(via_method, want)
+    got = np.asarray(ntt_kernel.scalar_mul_add_pallas(ring, d, m, t, num,
+                                                      interpret=True))
+    np.testing.assert_array_equal(got, want)
