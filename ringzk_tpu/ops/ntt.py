@@ -426,13 +426,23 @@ class RingContext:
         d = jnp.asarray(d, jnp.int32)
         m = jnp.asarray(m, jnp.int32)
         t = jnp.asarray(t, jnp.int32)
+        # d broadcasts over any number of trailing structure axes of m
+        # (rows; V summands x rows in the sum proof): flatten them to one
+        nbatch = d.ndim - 1
+        assert m.shape[:nbatch] == d.shape[:-1], (d.shape, m.shape)
+        assert t.shape == m.shape, (t.shape, m.shape)
+        struct = m.shape[nbatch:-1]
+        mf = m.reshape(d.shape[:-1] + (-1, m.shape[-1]))
+        tf = t.reshape(mf.shape)
         if os.environ.get("RINGZK_FUSED_SCALAR") == "1" and _use_pallas():
             from .pallas import ntt_kernel
 
-            return ntt_kernel.scalar_mul_add_pallas(self, d, m, t, num)
-        d_hat = self.fwd_const(d, num)
-        dm = self.inv(self.dot_hat(d_hat[..., None, :], self.fwd(m, num)))
-        return zq.add_centered(self.qctx, t, dm)
+            out = ntt_kernel.scalar_mul_add_pallas(self, d, mf, tf, num)
+        else:
+            d_hat = self.fwd_const(d, num)
+            dm = self.inv(self.dot_hat(d_hat[..., None, :], self.fwd(mf, num)))
+            out = zq.add_centered(self.qctx, tf, dm)
+        return out.reshape(d.shape[:-1] + struct + (m.shape[-1],))
 
 
 @functools.lru_cache(maxsize=None)

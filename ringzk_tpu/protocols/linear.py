@@ -127,12 +127,9 @@ def create_response(
     n_deg = ctx.y.shape[-1]
     ring = get_ring(n_deg, params.modulus)
     num = ring.primes_needed(min(params.kappa, n_deg) * params.b)
-    d_hat = ring.fwd_const(challenge.d, num)
-    dr = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(ctx.opening.r, num)))
-    drp = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(ctx.opening_p.r, num)))
     return LinearProofResponse(
-        z=zq.add_centered(ring.qctx, ctx.y, dr),
-        zp=zq.add_centered(ring.qctx, ctx.yp, drp),
+        z=ring.scalar_mul_add(challenge.d, ctx.opening.r, ctx.y, num),
+        zp=ring.scalar_mul_add(challenge.d, ctx.opening_p.r, ctx.yp, num),
     )
 
 
@@ -154,11 +151,9 @@ def verify(
     # c1*d terms: wire values are int32, d is kappa-sparse ternary; t is
     # added in the integer domain afterwards (skips its forward transform)
     num_d = ring.primes_needed(min(params.kappa, n_deg) * 2**31)
-    d_hat = ring.fwd_const(vctx.d, num_d)
 
     def t_plus_c1d(t, c1):
-        c1d = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(c1, num_d)))
-        return zq.add_centered(ring.qctx, t, c1d)
+        return ring.scalar_mul_add(vctx.d, c1, t, num_d)
 
     # a1.z == t + c1*d ; a1.zp == tp + c1p*d
     eq1 = mat.poly_equal(
@@ -184,11 +179,7 @@ def verify(
             mat.scalar_mul_hat(ring, g_hat, ring.fwd(vctx.c2)), ring.fwd(vctx.c2p)
         )
     )
-    rhs = zq.add_centered(
-        ring.qctx,
-        ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(gc2_c2p, num_d))),
-        vctx.u,
-    )
+    rhs = ring.scalar_mul_add(vctx.d, gc2_c2p, vctx.u, num_d)
     eq3 = mat.poly_equal(lhs, rhs, struct_axes=1)
 
     return ok & eq1 & eq2 & eq3

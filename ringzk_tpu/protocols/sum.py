@@ -150,15 +150,10 @@ def create_response(
     n_deg = ctx.yp.shape[-1]
     ring = get_ring(n_deg, params.modulus)
     num = ring.primes_needed(min(params.kappa, n_deg) * params.b)
-    d_hat = ring.fwd_const(challenge.d, num)
-    # d broadcasts over the V axis of rs: [..., V, k, N]
-    drs = ring.inv(
-        mat.scalar_mul_hat(ring, d_hat[..., None, :], ring.fwd(ctx.openings.r, num))
-    )
-    drp = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(ctx.opening_p.r, num)))
+    # d broadcasts over the V and k axes of rs: [..., V, k, N]
     return SumProofResponse(
-        zs=zq.add_centered(ring.qctx, ctx.ys, drs),
-        zp=zq.add_centered(ring.qctx, ctx.yp, drp),
+        zs=ring.scalar_mul_add(challenge.d, ctx.openings.r, ctx.ys, num),
+        zp=ring.scalar_mul_add(challenge.d, ctx.opening_p.r, ctx.yp, num),
     )
 
 
@@ -188,20 +183,15 @@ def verify(
     # c1*d products only ride the NTT; t terms are added in the integer
     # domain afterwards (skips their forward transforms)
     num_d = ring.primes_needed(min(params.kappa, n_deg) * 2**31)
-    d_hat = ring.fwd_const(vctx.d, num_d)
 
     # per-i: a1.z_i == t_i + c1_i*d  (d broadcasts over V)
-    c1sd = ring.inv(
-        mat.scalar_mul_hat(ring, d_hat[..., None, :], ring.fwd(vctx.c1s, num_d))
-    )
-    rhs1 = zq.add_centered(ring.qctx, vctx.ts, c1sd)
+    rhs1 = ring.scalar_mul_add(vctx.d, vctx.c1s, vctx.ts, num_d)
     eq1 = jnp.all(
         mat.poly_equal(matvec_key(ring, ck, "a1", zs, vbound), rhs1, struct_axes=1),
         axis=-1,
     )
     # a1.zp == tp + c1p*d
-    c1pd = ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(vctx.c1p, num_d)))
-    rhs2 = zq.add_centered(ring.qctx, vctx.tp, c1pd)
+    rhs2 = ring.scalar_mul_add(vctx.d, vctx.c1p, vctx.tp, num_d)
     eq2 = mat.poly_equal(matvec_key(ring, ck, "a1", zp, vbound), rhs2, struct_axes=1)
 
     # sum_i g_i*(a2.z_i) - a2.zp == (sum_i g_i*c2_i - c2p)*d + u
@@ -220,11 +210,7 @@ def verify(
             ring.fwd(vctx.c2p),
         )
     )
-    rhs = zq.add_centered(
-        ring.qctx,
-        ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(gc2, num_d))),
-        vctx.u,
-    )
+    rhs = ring.scalar_mul_add(vctx.d, gc2, vctx.u, num_d)
     eq3 = mat.poly_equal(lhs, rhs, struct_axes=1)
 
     return ok & eq1 & eq2 & eq3
