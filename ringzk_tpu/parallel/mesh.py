@@ -27,7 +27,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..params import Params
+from ..protocols import linear as linear_mod
 from ..protocols import open as open_mod
+from ..protocols import sum as sum_mod
 from ..protocols.commit import CommitmentKey, keygen
 
 
@@ -70,42 +72,73 @@ def batched_open_prove_verify(
     all-reduce of the accept bits is the psum batch-verify of
     BASELINE.json config 5.
     """
-    b = x.shape[0]
-    nd = mesh.devices.size
-    if b % nd:
-        raise ValueError(f"batch {b} not divisible by {nd} devices")
-
+    _check_divisible(x.shape[0], mesh)
     x = shard_batch(mesh, x, axis)
-    ck = replicate(mesh, ck)
-    step = open_step_fn(mesh, ck, params, axis)
-    return step(key, x)
+    return open_step_fn(mesh, ck, params, axis)(key, x)
 
 
-def open_step_fn(mesh: Mesh, ck: CommitmentKey, params: Params, axis: str = "dp"):
-    """The 'training step' analog: one jitted sharded program running the
-    complete prove->challenge->respond->verify pipeline over a batch.
+def _step_fn(roundtrip, n_data, mesh: Mesh, ck: CommitmentKey, params: Params, axis: str):
+    """One jitted sharded program running a complete prove->challenge->
+    respond->verify pipeline over a batch (the 'training step' analog).
 
-    `roundtrip` is natively batch-parallel (leading axes everywhere), so no
-    vmap is needed: the batch axis of x is sharded, the RNG key and ck are
-    replicated, and XLA partitions the whole pipeline; the final jnp.all is
-    the cross-device psum(AND) reduction.
-
-    Returns a function (key, x[B, l, N]) -> (ok[B] sharded, all_ok scalar).
+    Every `roundtrip` is natively batch-parallel (leading axes everywhere),
+    so no vmap is needed: the batch axes of the n_data proof inputs are
+    sharded, the RNG key and ck are replicated, and XLA partitions the whole
+    pipeline; the final jnp.all is the cross-device psum(AND) reduction.
     """
 
     ck_repl = replicate(mesh, ck)
+    data_spec = tuple(
+        NamedSharding(mesh, P(axis)) for _ in range(n_data)
+    )
 
     @partial(
         jax.jit,
-        in_shardings=(
-            NamedSharding(mesh, P()),
-            NamedSharding(mesh, P(axis)),
-        ),
+        in_shardings=(NamedSharding(mesh, P()),) + data_spec,
         out_shardings=(NamedSharding(mesh, P(axis)), NamedSharding(mesh, P())),
     )
-    def step(key, x):
-        ok, op_ok = open_mod.roundtrip(key, ck_repl, x, params)
+    def step(key, *data):
+        ok, op_ok = roundtrip(key, ck_repl, *data, params)
         ok = ok & op_ok
         return ok, jnp.all(ok)
 
     return step
+
+
+def open_step_fn(mesh: Mesh, ck: CommitmentKey, params: Params, axis: str = "dp"):
+    """Sharded open-proof step: (key, x[B, l, N]) -> (ok[B], all_ok)."""
+    return _step_fn(open_mod.roundtrip, 1, mesh, ck, params, axis)
+
+
+def linear_step_fn(mesh: Mesh, ck: CommitmentKey, params: Params, axis: str = "dp"):
+    """Sharded linear-proof step: (key, g[B, N], x[B, l, N]) -> (ok[B], all_ok)."""
+    return _step_fn(linear_mod.roundtrip, 2, mesh, ck, params, axis)
+
+
+def sum_step_fn(mesh: Mesh, ck: CommitmentKey, params: Params, axis: str = "dp"):
+    """Sharded sum-proof step: (key, gs[B, V, N], xs[B, V, l, N]) -> (ok[B], all_ok)."""
+    return _step_fn(sum_mod.roundtrip, 2, mesh, ck, params, axis)
+
+
+def batched_linear_prove_verify(mesh, key, ck, g, x, params, axis="dp"):
+    """Full linear-proof round trip (x' = g*x) for a dp-sharded batch.
+
+    g: [B, N] scalar polynomials, x: [B, l, N]. Returns (ok[B], all_ok)."""
+    _check_divisible(x.shape[0], mesh)
+    g, x = shard_batch(mesh, (g, x), axis)
+    return linear_step_fn(mesh, ck, params, axis)(key, g, x)
+
+
+def batched_sum_prove_verify(mesh, key, ck, gs, xs, params, axis="dp"):
+    """Full sum-proof round trip (x' = sum_i g_i*x_i) for a dp-sharded batch.
+
+    gs: [B, V, N], xs: [B, V, l, N]. Returns (ok[B], all_ok)."""
+    _check_divisible(xs.shape[0], mesh)
+    gs, xs = shard_batch(mesh, (gs, xs), axis)
+    return sum_step_fn(mesh, ck, params, axis)(key, gs, xs)
+
+
+def _check_divisible(b: int, mesh: Mesh):
+    nd = mesh.devices.size
+    if b % nd:
+        raise ValueError(f"batch {b} not divisible by {nd} devices")

@@ -46,6 +46,29 @@ def test_dp_sharding_layout(mesh8):
     assert bool(all_ok)
 
 
+def test_dp_sharded_linear_roundtrip(mesh8):
+    kk, kg, kx, kp = jax.random.split(jax.random.PRNGKey(7), 4)
+    ck = rz.keygen(kk, PARAMS, N)
+    g = jax.random.randint(kg, (16, N), -PARAMS.q, PARAMS.q + 1, jnp.int32)
+    x = jax.random.randint(kx, (16, PARAMS.l, N), -PARAMS.q, PARAMS.q + 1, jnp.int32)
+    ok, all_ok = pmesh.batched_linear_prove_verify(mesh8, kp, ck, g, x, PARAMS)
+    assert ok.shape == (16,)
+    assert bool(jnp.all(ok)) and bool(all_ok)
+
+
+def test_dp_sharded_sum_roundtrip(mesh8):
+    vl = 3
+    kk, kg, kx, kp = jax.random.split(jax.random.PRNGKey(8), 4)
+    ck = rz.keygen(kk, PARAMS, N)
+    gs = jax.random.randint(kg, (16, vl, N), -PARAMS.q, PARAMS.q + 1, jnp.int32)
+    xs = jax.random.randint(
+        kx, (16, vl, PARAMS.l, N), -PARAMS.q, PARAMS.q + 1, jnp.int32
+    )
+    ok, all_ok = pmesh.batched_sum_prove_verify(mesh8, kp, ck, gs, xs, PARAMS)
+    assert ok.shape == (16,)
+    assert bool(jnp.all(ok)) and bool(all_ok)
+
+
 def test_batch_not_divisible_raises(mesh8):
     kk, kx, kp = jax.random.split(jax.random.PRNGKey(2), 3)
     ck = rz.keygen(kk, PARAMS, N)
