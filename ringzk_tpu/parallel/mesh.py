@@ -19,6 +19,7 @@ collectives (all-gather for the CRT gather, psum for the verdict reduce).
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -72,12 +73,13 @@ def batched_open_prove_verify(
     all-reduce of the accept bits is the psum batch-verify of
     BASELINE.json config 5.
     """
-    _check_divisible(x.shape[0], mesh)
+    _check_batch(mesh, x.shape[0])
     x = shard_batch(mesh, x, axis)
     return open_step_fn(mesh, ck, params, axis)(key, x)
 
 
-def _step_fn(roundtrip, n_data, mesh: Mesh, ck: CommitmentKey, params: Params, axis: str):
+@functools.lru_cache(maxsize=None)
+def _step_fn(roundtrip, n_data: int, mesh: Mesh, params: Params, axis: str):
     """One jitted sharded program running a complete prove->challenge->
     respond->verify pipeline over a batch (the 'training step' analog).
 
@@ -85,46 +87,54 @@ def _step_fn(roundtrip, n_data, mesh: Mesh, ck: CommitmentKey, params: Params, a
     so no vmap is needed: the batch axes of the n_data proof inputs are
     sharded, the RNG key and ck are replicated, and XLA partitions the whole
     pipeline; the final jnp.all is the cross-device psum(AND) reduction.
+
+    Cached on (roundtrip, mesh, params, axis) with the commitment key as a
+    traced argument, so repeated batches -- and repeated calls to the
+    batched_* wrappers -- reuse one jitted program per mesh/params instead
+    of recompiling per call.
     """
 
-    ck_repl = replicate(mesh, ck)
-    data_spec = tuple(
-        NamedSharding(mesh, P(axis)) for _ in range(n_data)
-    )
+    repl = NamedSharding(mesh, P())
+    data_spec = tuple(NamedSharding(mesh, P(axis)) for _ in range(n_data))
 
     @partial(
         jax.jit,
-        in_shardings=(NamedSharding(mesh, P()),) + data_spec,
-        out_shardings=(NamedSharding(mesh, P(axis)), NamedSharding(mesh, P())),
+        in_shardings=(repl, repl) + data_spec,
+        out_shardings=(NamedSharding(mesh, P(axis)), repl),
     )
-    def step(key, *data):
-        ok, op_ok = roundtrip(key, ck_repl, *data, params)
+    def step(key, ck, *data):
+        ok, op_ok = roundtrip(key, ck, *data, params)
         ok = ok & op_ok
         return ok, jnp.all(ok)
 
     return step
 
 
+def _bind_ck(step, mesh, ck):
+    ck_repl = replicate(mesh, ck)
+    return lambda key, *data: step(key, ck_repl, *data)
+
+
 def open_step_fn(mesh: Mesh, ck: CommitmentKey, params: Params, axis: str = "dp"):
     """Sharded open-proof step: (key, x[B, l, N]) -> (ok[B], all_ok)."""
-    return _step_fn(open_mod.roundtrip, 1, mesh, ck, params, axis)
+    return _bind_ck(_step_fn(open_mod.roundtrip, 1, mesh, params, axis), mesh, ck)
 
 
 def linear_step_fn(mesh: Mesh, ck: CommitmentKey, params: Params, axis: str = "dp"):
     """Sharded linear-proof step: (key, g[B, N], x[B, l, N]) -> (ok[B], all_ok)."""
-    return _step_fn(linear_mod.roundtrip, 2, mesh, ck, params, axis)
+    return _bind_ck(_step_fn(linear_mod.roundtrip, 2, mesh, params, axis), mesh, ck)
 
 
 def sum_step_fn(mesh: Mesh, ck: CommitmentKey, params: Params, axis: str = "dp"):
     """Sharded sum-proof step: (key, gs[B, V, N], xs[B, V, l, N]) -> (ok[B], all_ok)."""
-    return _step_fn(sum_mod.roundtrip, 2, mesh, ck, params, axis)
+    return _bind_ck(_step_fn(sum_mod.roundtrip, 2, mesh, params, axis), mesh, ck)
 
 
 def batched_linear_prove_verify(mesh, key, ck, g, x, params, axis="dp"):
     """Full linear-proof round trip (x' = g*x) for a dp-sharded batch.
 
     g: [B, N] scalar polynomials, x: [B, l, N]. Returns (ok[B], all_ok)."""
-    _check_divisible(x.shape[0], mesh)
+    _check_batch(mesh, g.shape[0], x.shape[0])
     g, x = shard_batch(mesh, (g, x), axis)
     return linear_step_fn(mesh, ck, params, axis)(key, g, x)
 
@@ -133,12 +143,16 @@ def batched_sum_prove_verify(mesh, key, ck, gs, xs, params, axis="dp"):
     """Full sum-proof round trip (x' = sum_i g_i*x_i) for a dp-sharded batch.
 
     gs: [B, V, N], xs: [B, V, l, N]. Returns (ok[B], all_ok)."""
-    _check_divisible(xs.shape[0], mesh)
+    _check_batch(mesh, gs.shape[0], xs.shape[0])
     gs, xs = shard_batch(mesh, (gs, xs), axis)
     return sum_step_fn(mesh, ck, params, axis)(key, gs, xs)
 
 
-def _check_divisible(b: int, mesh: Mesh):
+def _check_batch(mesh: Mesh, *batch_sizes: int):
+    """All data inputs must share one leading batch axis, divisible by the
+    device count (otherwise the jit raises an opaque XLA shape error)."""
+    if len(set(batch_sizes)) > 1:
+        raise ValueError(f"batch axes disagree across inputs: {batch_sizes}")
     nd = mesh.devices.size
-    if b % nd:
-        raise ValueError(f"batch {b} not divisible by {nd} devices")
+    if batch_sizes[0] % nd:
+        raise ValueError(f"batch {batch_sizes[0]} not divisible by {nd} devices")
