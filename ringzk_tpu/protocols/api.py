@@ -31,8 +31,9 @@ from .commit import CommitmentKey, keygen
 def prepare_value(params: Params, value, n_deg: int):
     """Wrap a list of l coefficient vectors into an [l, N] int32 message
     (reference: /root/reference/src/params.rs:67-77). Batched input
-    (list of lists of lists) yields [..., l, N]."""
-    arr = _pad_coeffs(value, n_deg)
+    (list of lists of lists) yields [..., l, N]. Coefficients are reduced
+    mod q into the centered range, like the reference's ``Into<ZqI64<Q>>``."""
+    arr = _pad_coeffs(value, n_deg, params.modulus)
     if arr.shape[-2] != params.l:
         raise ValueError(f"value must have {params.l} rows, got {arr.shape[-2]}")
     return arr
@@ -40,15 +41,22 @@ def prepare_value(params: Params, value, n_deg: int):
 
 def prepare_scalar(params: Params, scalar, n_deg: int):
     """Wrap a coefficient vector into an [N] int32 polynomial
-    (reference: /root/reference/src/params.rs:89-91)."""
-    return _pad_coeffs(scalar, n_deg)
+    (reference: /root/reference/src/params.rs:89-91), coefficients reduced
+    mod q into the centered range."""
+    return _pad_coeffs(scalar, n_deg, params.modulus)
 
 
-def _pad_coeffs(obj, n_deg: int):
+def _pad_coeffs(obj, n_deg: int, modulus: int):
     def pad_leaf(seq):
         a = np.asarray(seq, dtype=np.int64)
         if a.shape[-1] > n_deg:
             raise ValueError(f"too many coefficients for N={n_deg}")
+        # centered mod-q reduction (ZqI64::from semantics,
+        # /root/reference/src/params.rs:67-91): an out-of-range input maps
+        # to its ring residue in [-(q-1)/2, q/2] instead of silently
+        # wrapping through the int32 cast
+        a = np.mod(a, modulus)
+        a = np.where(a > modulus // 2, a - modulus, a)
         out = np.zeros(a.shape[:-1] + (n_deg,), np.int64)
         out[..., : a.shape[-1]] = a
         return out

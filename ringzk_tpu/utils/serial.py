@@ -25,6 +25,7 @@ from __future__ import annotations
 import ctypes
 import os
 import struct
+import typing
 from typing import Any
 
 import numpy as np
@@ -225,36 +226,43 @@ def loads(buf: bytes) -> dict:
     return out
 
 
+def _unwrap_optional(typ):
+    """Optional[T] / Union[T, None] -> T; anything else unchanged."""
+    if typing.get_origin(typ) is typing.Union:
+        args = [a for a in typing.get_args(typ) if a is not type(None)]
+        if len(args) == 1:
+            return args[0]
+    return typ
+
+
 def rebuild(cls, data: dict, prefix: str = ""):
-    """Rebuild a NamedTuple (possibly nested) from a loads() dict."""
+    """Rebuild a typed NamedTuple (possibly nested) from a loads() dict.
+
+    Fully generic over the protocol surface: field types are resolved from
+    the class's annotations, and any field whose (Optional-unwrapped) type
+    is itself a NamedTuple -- Commitment, Opening, or a whole message family
+    -- is rebuilt recursively. Covers all 15 message/context types of the
+    three protocols (the reference derives serde on each of them, e.g.
+    /root/reference/src/prove/linear.rs:256-309, sum.rs:327-391).
+    """
+    try:
+        hints = typing.get_type_hints(cls)
+    except Exception:  # pragma: no cover - unresolvable forward refs
+        hints = dict(getattr(cls, "__annotations__", {}))
     kwargs = {}
-    for f, typ in getattr(cls, "__annotations__", {}).items():
+    for f in cls._fields:
         key = f"{prefix}{f}"
         sub_prefix = f"{prefix}{f}."
-        if key in data:
+        inner = _unwrap_optional(hints.get(f))
+        if isinstance(inner, type) and hasattr(inner, "_fields"):
+            if f"{sub_prefix}__none__" in data:
+                kwargs[f] = None
+            else:
+                kwargs[f] = rebuild(inner, data, sub_prefix)
+        elif key in data:
             kwargs[f] = data[key]
         elif f"{sub_prefix}__none__" in data:
             kwargs[f] = None
         else:
-            nested = {k for k in data if k.startswith(sub_prefix)}
-            if not nested:
-                raise KeyError(f"missing field {key}")
-            kwargs[f] = _rebuild_nested(data, sub_prefix)
+            raise KeyError(f"missing field {key}")
     return cls(**kwargs)
-
-
-def _rebuild_nested(data, prefix):
-    from ringzk_tpu.protocols.commit import Commitment, Opening
-
-    sub = {k[len(prefix):] for k in data if k.startswith(prefix)}
-    fields = {s.split(".")[0] for s in sub}
-    if fields == {"c"}:
-        return Commitment(c=data[prefix + "c"])
-    if fields <= {"x", "r", "f", "__none__"}:
-        f_key = prefix + "f.__none__"
-        return Opening(
-            x=data[prefix + "x"],
-            r=data[prefix + "r"],
-            f=None if f_key in data else data.get(prefix + "f"),
-        )
-    raise KeyError(f"cannot rebuild nested object at {prefix}: {fields}")

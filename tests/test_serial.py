@@ -3,6 +3,8 @@ round-trips of every protocol message/context type, cross-checks of the
 native C++ codec against the pure-numpy fallback, and a wire-size
 regression in the spirit of /root/reference/src/mat.rs:425-438."""
 
+import subprocess
+
 import numpy as np
 import pytest
 
@@ -10,7 +12,9 @@ import jax
 import jax.numpy as jnp
 
 import ringzk_tpu as rz
+from ringzk_tpu.protocols import linear as linear_mod
 from ringzk_tpu.protocols import open as open_mod
+from ringzk_tpu.protocols import sum as sum_mod
 from ringzk_tpu.utils import serial
 
 N = 16
@@ -61,7 +65,146 @@ def test_rebuild_nested_context(proof_objects):
     assert rebuilt.opening.f is None
 
 
+def _tree_equal(a, b):
+    la = dict(serial._flatten_with_paths(a))
+    lb = dict(serial._flatten_with_paths(b))
+    assert la.keys() == lb.keys()
+    for k in la:
+        if la[k] is None:
+            assert lb[k] is None
+        else:
+            np.testing.assert_array_equal(np.asarray(la[k]), np.asarray(lb[k]))
+
+
+@pytest.fixture(scope="module")
+def linear_objects(proof_objects):
+    ck = proof_objects[0]
+    kx, kg, kp, kc = jax.random.split(jax.random.PRNGKey(1), 4)
+    x = jax.random.randint(kx, (2, PARAMS.l, N), -PARAMS.q, PARAMS.q + 1, dtype=jnp.int32)
+    g = jax.random.randint(kg, (2, N), -PARAMS.q, PARAMS.q + 1, dtype=jnp.int32)
+    rctx, pcom = linear_mod.prover_commit(kp, ck, g, x, PARAMS)
+    vctx, chal = linear_mod.generate_challenge(kc, pcom, PARAMS)
+    resp = linear_mod.create_response(rctx, chal, PARAMS)
+    return rctx, pcom, vctx, chal, resp
+
+
+@pytest.fixture(scope="module")
+def sum_objects(proof_objects):
+    ck = proof_objects[0]
+    kx, kg, kp, kc = jax.random.split(jax.random.PRNGKey(2), 4)
+    xs = jax.random.randint(
+        kx, (2, 3, PARAMS.l, N), -PARAMS.q, PARAMS.q + 1, dtype=jnp.int32
+    )
+    gs = jax.random.randint(kg, (2, 3, N), -PARAMS.q, PARAMS.q + 1, dtype=jnp.int32)
+    rctx, pcom = sum_mod.prover_commit(kp, ck, gs, xs, PARAMS)
+    vctx, chal = sum_mod.generate_challenge(kc, pcom, PARAMS)
+    resp = sum_mod.create_response(rctx, chal, PARAMS)
+    return rctx, pcom, vctx, chal, resp
+
+
+_OPEN_TYPES = (
+    open_mod.OpenProofResponseContext,
+    open_mod.OpenProofCommitment,
+    open_mod.OpenProofVerificationContext,
+    open_mod.OpenProofChallenge,
+    open_mod.OpenProofResponse,
+)
+_LINEAR_TYPES = (
+    linear_mod.LinearProofResponseContext,
+    linear_mod.LinearProofCommitment,
+    linear_mod.LinearProofVerificationContext,
+    linear_mod.LinearProofChallenge,
+    linear_mod.LinearProofResponse,
+)
+_SUM_TYPES = (
+    sum_mod.SumProofResponseContext,
+    sum_mod.SumProofCommitment,
+    sum_mod.SumProofVerificationContext,
+    sum_mod.SumProofChallenge,
+    sum_mod.SumProofResponse,
+)
+
+
+@pytest.mark.parametrize("idx", range(5))
+def test_typed_rebuild_open(proof_objects, idx):
+    """Typed round-trip for every open-proof message/context family
+    (reference serde surface: /root/reference/src/prove/open.rs:180-228)."""
+    obj = proof_objects[1 + idx]
+    rebuilt = serial.rebuild(_OPEN_TYPES[idx], serial.loads(serial.dumps(obj)))
+    assert type(rebuilt) is _OPEN_TYPES[idx]
+    _tree_equal(obj, rebuilt)
+
+
+@pytest.mark.parametrize("idx", range(5))
+def test_typed_rebuild_linear(linear_objects, idx):
+    """Typed round-trip for every linear-proof family
+    (/root/reference/src/prove/linear.rs:256-325; note the reference
+    *forgets* serde on LinearProofResponse -- an inconsistency SURVEY.md C8
+    documents; here all five types round-trip)."""
+    obj = linear_objects[idx]
+    rebuilt = serial.rebuild(_LINEAR_TYPES[idx], serial.loads(serial.dumps(obj)))
+    assert type(rebuilt) is _LINEAR_TYPES[idx]
+    _tree_equal(obj, rebuilt)
+
+
+@pytest.mark.parametrize("idx", range(5))
+def test_typed_rebuild_sum(sum_objects, idx):
+    """Typed round-trip for every sum-proof family
+    (/root/reference/src/prove/sum.rs:327-391)."""
+    obj = sum_objects[idx]
+    rebuilt = serial.rebuild(_SUM_TYPES[idx], serial.loads(serial.dumps(obj)))
+    assert type(rebuilt) is _SUM_TYPES[idx]
+    _tree_equal(obj, rebuilt)
+
+
+def test_typed_rebuild_nested_types(proof_objects):
+    """Nested objects come back as their proper types, not dicts."""
+    from ringzk_tpu.protocols.commit import Commitment, Opening
+
+    _, rctx, pcom, *_ = proof_objects
+    r2 = serial.rebuild(
+        open_mod.OpenProofResponseContext, serial.loads(serial.dumps(rctx))
+    )
+    assert type(r2.opening) is Opening and r2.opening.f is None
+    p2 = serial.rebuild(
+        open_mod.OpenProofCommitment, serial.loads(serial.dumps(pcom))
+    )
+    assert type(p2.c) is Commitment
+
+
+def test_prepare_value_reduces_mod_q():
+    """Out-of-range coefficients reduce mod q (centered), matching
+    ZqI64::from (/root/reference/src/params.rs:67-91) -- not a silent
+    int32 wraparound."""
+    m = PARAMS.modulus
+    vals = [2**31, m, m + 5, -m - 7, 2**62]
+    out = np.asarray(rz.prepare_scalar(PARAMS, vals, N))
+    for i, v in enumerate(vals):
+        expect = v % m
+        if expect > m // 2:
+            expect -= m
+        assert out[i] == expect, (v, out[i], expect)
+    x = np.asarray(rz.prepare_value(PARAMS, [[m + 3]], N))
+    assert x[0, 0] == 3
+
+
 def test_native_matches_numpy(rng):
+    """Cross-check the C++ codec against the numpy fallback. Builds
+    libcodec.so on demand (it is gitignored) so this never silently tests
+    numpy against itself; skips loudly only if no compiler is available."""
+    if serial._native() is None:
+        import os
+
+        script = os.path.join(
+            os.path.dirname(__file__), "..", "scripts", "build_native.sh"
+        )
+        build = subprocess.run(
+            ["bash", script], capture_output=True, text=True
+        )
+        if build.returncode != 0:
+            pytest.skip(f"native codec build failed:\n{build.stderr}")
+        serial._LIB = None  # force re-probe of the freshly built .so
+        assert serial._native() is not None, "built libcodec.so but load failed"
     a = rng.integers(-(2**31), 2**31 - 1, size=(17, 32), dtype=np.int64).astype(np.int32)
     a[:, 20:] = 0  # exercise trailing-zero trimming
     enc_native = serial.encode_rows(a)
