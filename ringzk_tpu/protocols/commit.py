@@ -28,6 +28,7 @@ import numpy as np
 from ..ops import conv_mxu, mat, norms, sampling
 from ..ops.ntt import RingContext, get_ring
 from ..params import Params
+from ..utils.profiling import annotate
 
 # Largest ring degree for which the digitized MXU key operator is built
 # (memory is KEY_DIGITS * kN * (n+l)N int8 ~ 126 MB at N=2048).
@@ -98,6 +99,7 @@ class Opening(NamedTuple):
     f: Optional[jax.Array] = None
 
 
+@annotate("commit_scheme/keygen")
 def keygen(key, params: Params, n_deg: int, batch_shape=()) -> CommitmentKey:
     """Generate commitment key(s). batch_shape prefixes independent keys."""
     params.validate()
@@ -179,6 +181,7 @@ def verify_ok(params: Params, n_deg: int, z) -> jax.Array:
     return jnp.all(norms.norm2_leq(z, params.verify_bound(n_deg)), axis=-1)
 
 
+@annotate("commit_scheme/commit")
 def commit(key, ck: CommitmentKey, x, params: Params):
     """Commit to x: [..., l, N] -> (Opening, Commitment), batched.
 
@@ -222,6 +225,7 @@ def _commit_value(ring: RingContext, ck: CommitmentKey, x, r, params: Params):
     return zq.add_centered(ring.qctx, ar, _zero_pad_rows(x, params.n))
 
 
+@annotate("commit_scheme/verify")
 def verify(ck: CommitmentKey, com: Commitment, opening: Opening, params: Params):
     """Opening verification incl. the relaxation factor f
     (/root/reference/src/commit.rs:173-210):

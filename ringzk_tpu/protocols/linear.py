@@ -21,6 +21,7 @@ import jax
 from ..ops import mat, sampling, zq
 from ..ops.ntt import get_ring
 from ..params import Params
+from ..utils.profiling import annotate
 from .commit import Commitment, CommitmentKey, Opening, commit, matvec_key, verify_ok
 from .open import gaussian_bound, sample_y
 
@@ -68,6 +69,7 @@ class LinearProofResponse(NamedTuple):
     zp: jax.Array  # [..., k, N]
 
 
+@annotate("linear_proof/commit")
 def prover_commit(key, ck: CommitmentKey, g, x, params: Params):
     """Move 1 (/root/reference/src/prove/linear.rs:82-140). g: [..., N],
     x: [..., l, N]."""
@@ -103,6 +105,7 @@ def prover_commit(key, ck: CommitmentKey, g, x, params: Params):
     )
 
 
+@annotate("linear_proof/generate_challenge")
 def generate_challenge(key, commitment: LinearProofCommitment, params: Params):
     """Move 2 (/root/reference/src/prove/linear.rs:184-209)."""
     n_deg = commitment.t.shape[-1]
@@ -119,6 +122,7 @@ def generate_challenge(key, commitment: LinearProofCommitment, params: Params):
     )
 
 
+@annotate("linear_proof/create_response")
 def create_response(
     ctx: LinearProofResponseContext, challenge: LinearProofChallenge, params: Params
 ):
@@ -133,6 +137,7 @@ def create_response(
     )
 
 
+@annotate("linear_proof/verify")
 def verify(
     ck: CommitmentKey,
     response: LinearProofResponse,

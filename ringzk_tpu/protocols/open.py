@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from ..ops import mat, sampling
 from ..ops.ntt import get_ring
 from ..params import Params
+from ..utils.profiling import annotate
 from .commit import (
     Commitment,
     CommitmentKey,
@@ -82,6 +83,7 @@ class OpenProofResponse(NamedTuple):
     z: jax.Array  # [..., k, N]
 
 
+@annotate("open_proof/commit")
 def prover_commit(key, ck: CommitmentKey, x, params: Params):
     """Move 1. x: [..., l, N] -> (response context, proof commitment).
 
@@ -101,6 +103,7 @@ def prover_commit(key, ck: CommitmentKey, x, params: Params):
     )
 
 
+@annotate("open_proof/generate_challenge")
 def generate_challenge(key, commitment: OpenProofCommitment, params: Params):
     """Move 2 (/root/reference/src/prove/open.rs:143-158): draw d from the
     challenge space; retain (c1, t, d) for verification."""
@@ -114,6 +117,7 @@ def generate_challenge(key, commitment: OpenProofCommitment, params: Params):
     )
 
 
+@annotate("open_proof/create_response")
 def create_response(
     ctx: OpenProofResponseContext, challenge: OpenProofChallenge, params: Params
 ):
@@ -131,6 +135,7 @@ def create_response(
     return OpenProofResponse(z=z)
 
 
+@annotate("open_proof/verify")
 def verify(
     ck: CommitmentKey,
     response: OpenProofResponse,

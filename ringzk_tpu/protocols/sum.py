@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..ops import mat, sampling, zq
 from ..ops.ntt import get_ring
 from ..params import Params
+from ..utils.profiling import annotate
 from .commit import Commitment, CommitmentKey, Opening, commit, matvec_key, verify_ok
 from .open import gaussian_bound, sample_y
 
@@ -83,6 +84,7 @@ def _sum_v(ring, hat, v_axis):
     return ring.sum_hat(hat, v_axis)
 
 
+@annotate("sum_proof/commit")
 def prover_commit(key, ck: CommitmentKey, gs, xs, params: Params):
     """Move 1 (/root/reference/src/prove/sum.rs:99-178).
 
@@ -127,6 +129,7 @@ def prover_commit(key, ck: CommitmentKey, gs, xs, params: Params):
     )
 
 
+@annotate("sum_proof/generate_challenge")
 def generate_challenge(key, commitment: SumProofCommitment, params: Params):
     """Move 2 (/root/reference/src/prove/sum.rs:228-253)."""
     n_deg = commitment.tp.shape[-1]
@@ -143,6 +146,7 @@ def generate_challenge(key, commitment: SumProofCommitment, params: Params):
     )
 
 
+@annotate("sum_proof/create_response")
 def create_response(
     ctx: SumProofResponseContext, challenge: SumProofChallenge, params: Params
 ):
@@ -157,6 +161,7 @@ def create_response(
     )
 
 
+@annotate("sum_proof/verify")
 def verify(
     ck: CommitmentKey,
     response: SumProofResponse,

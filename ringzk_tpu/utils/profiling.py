@@ -1,10 +1,14 @@
 """Tracing/profiling hooks (SURVEY.md section 5.1: absent in the reference
-beyond Criterion timing; here every protocol phase is annotated for the
-jax profiler, and a context manager captures device traces)."""
+beyond Criterion timing). Every protocol phase function in
+protocols/{commit,open,linear,sum}.py is wrapped with :func:`annotate`, so
+phase names appear (a) as named_scope prefixes on every HLO op they trace --
+visible in xprof/tensorboard device traces even inside one fused jit program
+-- and (b) as host TraceAnnotations around eager dispatches."""
 
 from __future__ import annotations
 
 import contextlib
+import functools
 import os
 import time
 
@@ -12,16 +16,17 @@ import jax
 
 
 def annotate(name: str):
-    """Decorator: wraps a function in a jax profiler TraceAnnotation so the
-    phase shows up named in xprof/tensorboard traces."""
+    """Decorator: runs the function under ``jax.named_scope(name)`` (op-name
+    prefix at trace time, so the phase is attributable inside compiled
+    programs) plus a ``jax.profiler.TraceAnnotation`` (host-side span for
+    eager/dispatch profiling)."""
 
     def deco(fn):
+        @functools.wraps(fn)
         def wrapper(*args, **kwargs):
-            with jax.profiler.TraceAnnotation(name):
+            with jax.named_scope(name), jax.profiler.TraceAnnotation(name):
                 return fn(*args, **kwargs)
 
-        wrapper.__name__ = getattr(fn, "__name__", name)
-        wrapper.__doc__ = fn.__doc__
         return wrapper
 
     return deco
