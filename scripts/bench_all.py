@@ -131,8 +131,10 @@ def main():
     rt = jax.jit(lambda k, x: open_mod.roundtrip(k, ck, x, params))
     dt = timeit(rt, (kp, x), args.iters)
     record("open_proof_full_roundtrip", dt, b)
-    results.append({"name": "open_proofs_per_second", "unit": "proofs/s",
-                    "value": round(b / dt, 1), "extra": f"batch={b}, N={n_deg}"})
+    # Human throughput line only (stderr): the JSON stays uniformly
+    # smaller-is-better ns/op so github-action-benchmark's customSmallerIsBetter
+    # regression alerting is meaningful for every entry.
+    print(f"{'open_proofs_per_second':36s} {b / dt:14.1f} proofs/s", file=sys.stderr)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
