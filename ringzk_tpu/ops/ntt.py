@@ -466,8 +466,38 @@ class RingContext:
 
 
 @functools.lru_cache(maxsize=None)
-def get_ring(n: int, q: int) -> RingContext:
+def _get_ring_cached(n: int, q: int) -> RingContext:
     return RingContext(n=n, q=q)
+
+
+# Trace-time ring override (see parallel/ring_sp.py): while active, protocol
+# code asking for a ring of the SAME (n, q) receives the override instead --
+# e.g. an SpRing whose transforms shard the coefficient axis over a mesh.
+# This is how the sp axis reaches the protocol layer without threading a
+# ring argument through every call site. Other (n, q) pairs fall through.
+_RING_OVERRIDE: list = []
+
+
+class ring_override:
+    """Context manager installing ``ring`` as the get_ring result for its
+    (n, q) during tracing. Nestable; trace protocol programs inside it."""
+
+    def __init__(self, ring: "RingContext"):
+        self.ring = ring
+
+    def __enter__(self):
+        _RING_OVERRIDE.append(self.ring)
+        return self.ring
+
+    def __exit__(self, *exc):
+        _RING_OVERRIDE.pop()
+
+
+def get_ring(n: int, q: int) -> RingContext:
+    for ov in reversed(_RING_OVERRIDE):
+        if ov.n == n and ov.q == q:
+            return ov
+    return _get_ring_cached(n, q)
 
 
 # Pairwise-coprime 26-bit moduli for the exact golden-model convolution:

@@ -7,9 +7,11 @@ The reference is single-threaded CPU (SURVEY.md section 2.2); this module
     (across chips via ICI, across hosts via DCN) -- thousands of independent
     sigma-protocol round trips run as one pjit program;
   * tensor parallelism: the CRT prime axis (P=3 independent NTT residue
-    channels, the leading axis of every NTT-domain array) can shard over a
+    channels, the leading axis of every NTT-domain array) shards over a
     "tp" axis -- per-prime NTTs are embarrassingly parallel and only the
-    final Garner reconstruction gathers the three residues;
+    final Garner reconstruction gathers the three residues
+    (implemented in parallel/ntt_tp.py; the ring-degree "sp" axis lives in
+    parallel/ring_sp.py + protocol_sp.py);
   * batch-verify reduction: verifier accept bits are AND-reduced with a psum
     over the mesh, the collective analog of the reference's per-proof bool.
 

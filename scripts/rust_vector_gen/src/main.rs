@@ -1,0 +1,137 @@
+//! Emit open-proof transcripts from the ring-zk reference as the JSON
+//! interchange vectors consumed by ringzk_tpu's tests/test_interop.py
+//! (format: docs/INTEROP.md -- nested lists of centered i64 coefficients,
+//! zero-padded to N, one object per transcript).
+//!
+//! Everything is read off the public protocol structs via their serde
+//! derives (Opening/Mat/Polynomial all Serialize), so no ring-zk fork is
+//! needed. Run on a cargo machine and drop the output into tests/vectors/.
+
+use rand::{rngs::StdRng, SeedableRng};
+use ring_zk::{OpenProofProver, OpenProofVerifier, Params};
+use serde_json::{json, Value};
+
+/// Pad a serialized Polynomial (coeff list, trailing zeros trimmed by
+/// poly-ring-xnp1's serde) to exactly n coefficients.
+fn pad_poly(v: &Value, n: usize) -> Value {
+    let mut c: Vec<i64> = v
+        .as_array()
+        .expect("polynomial must serialize as a coeff array")
+        .iter()
+        .map(|x| x.as_i64().expect("coeff must be an integer"))
+        .collect();
+    assert!(c.len() <= n, "more than N coefficients");
+    c.resize(n, 0);
+    json!(c)
+}
+
+/// A serialized Vec<Polynomial> -> [[i64; n]; rows].
+fn pad_polyvec(v: &Value, n: usize) -> Value {
+    Value::Array(
+        v.as_array()
+            .expect("expected a polynomial vector")
+            .iter()
+            .map(|p| pad_poly(p, n))
+            .collect(),
+    )
+}
+
+/// A serialized Mat (rows x 1 column matrix: {"polynomials": [[p]; rows]})
+/// -> [[i64; n]; rows].
+fn pad_mat_col(v: &Value, n: usize) -> Value {
+    let rows = v["polynomials"]
+        .as_array()
+        .expect("Mat must serialize as {polynomials: [[...]]}");
+    Value::Array(
+        rows.iter()
+            .map(|row| {
+                let row = row.as_array().expect("Mat row");
+                assert_eq!(row.len(), 1, "expected a column matrix");
+                pad_poly(&row[0], n)
+            })
+            .collect(),
+    )
+}
+
+/// A serialized Mat with several columns -> [[[i64; n]; cols]; rows].
+fn pad_mat(v: &Value, n: usize) -> Value {
+    let rows = v["polynomials"].as_array().expect("Mat");
+    Value::Array(
+        rows.iter()
+            .map(|row| {
+                Value::Array(
+                    row.as_array()
+                        .expect("Mat row")
+                        .iter()
+                        .map(|p| pad_poly(p, n))
+                        .collect(),
+                )
+            })
+            .collect(),
+    )
+}
+
+fn one_vector<const N: usize>(seed: u64, msg: Vec<Vec<i64>>) -> Value {
+    let rng = &mut StdRng::seed_from_u64(seed);
+    let params = Params::default();
+
+    let ck = params.generate_commitment_key::<N>(rng);
+    let ck_json = serde_json::to_value(&ck).unwrap();
+
+    let x = params.prepare_value::<N>(
+        msg.iter()
+            .map(|row| row.iter().map(|&c| c.into()).collect())
+            .collect(),
+    );
+    let x_json = serde_json::to_value(&x).unwrap();
+
+    let prover = OpenProofProver::new(ck.clone(), params.clone());
+    let verifier = OpenProofVerifier::new(ck.clone(), params.clone());
+
+    let (rctx, pcom) = prover.commit(rng, x);
+    let rctx_json = serde_json::to_value(&rctx).unwrap();
+    let pcom_json = serde_json::to_value(&pcom).unwrap();
+
+    let (vctx, chal) = verifier.generate_challenge(rng, pcom);
+    let chal_json = serde_json::to_value(&chal).unwrap();
+    let response = prover.create_response(rctx, chal);
+    let resp_json = serde_json::to_value(&response).unwrap();
+    assert!(verifier.verify(response, vctx), "reference rejected its own proof");
+
+    // params.q serializes via the Params derive; read it back out
+    let params_json = serde_json::to_value(&params).unwrap();
+
+    json!({
+        "n": N,
+        "seed": seed,
+        "params": {
+            "q": params_json["q"],
+            "b": params_json["b"],
+            "n": params_json["n"],
+            "k": params_json["k"],
+            "l": params_json["l"],
+            "kappa": params_json["kappa"],
+        },
+        "ck": {
+            "a1": pad_mat(&ck_json["a1"], N),
+            "a2": pad_mat(&ck_json["a2"], N),
+        },
+        "x": pad_polyvec(&x_json, N),
+        "r": pad_mat_col(&rctx_json["opening"]["r"], N),
+        "y": pad_mat_col(&rctx_json["y"], N),
+        "d": pad_poly(&chal_json["d"], N),
+        "c": pad_mat_col(&pcom_json["c"]["c"], N),
+        "t": pad_polyvec(&pcom_json["t"], N),
+        "z": pad_mat_col(&resp_json["z"], N),
+    })
+}
+
+fn main() {
+    let mut vectors = Vec::new();
+    for seed in 0..4u64 {
+        vectors.push(one_vector::<16>(seed, vec![vec![1, 2, 3, 4]]));
+    }
+    // BASELINE config 1: N=512, message [1,2,3,4]
+    vectors.push(one_vector::<512>(42, vec![vec![1, 2, 3, 4]]));
+    println!("{}", serde_json::to_string_pretty(&Value::Array(vectors)).unwrap());
+}

@@ -159,3 +159,134 @@ def test_sp_dp_composed_polymul(rng):
     ring = ntt.get_ring(n_sp, Q)
     want = np.asarray(ring.polymul(jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32)))
     np.testing.assert_array_equal(got, want)
+
+
+# -- sp in the PROTOCOL layer (ring axis sharded end-to-end) -----------------
+
+
+@pytest.fixture(scope="module")
+def mesh_dpsp():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (run via scripts/pytest-cpu)")
+    from ringzk_tpu.parallel import protocol_sp
+
+    return protocol_sp.make_sp_mesh(2, 4)
+
+
+def test_spring_polymul_matches_plain(mesh_sp, rng):
+    """SpRing (the protocol-layer sp ring) fwd/inv == plain RingContext."""
+    from ringzk_tpu.parallel.ring_sp import SpRing
+
+    n_sp = 1024
+    ring = SpRing(n=n_sp, q=Q, mesh=mesh_sp, axis="sp", batch_axis=None)
+    plain = ntt.get_ring(n_sp, Q)
+    a = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(4, n_sp)), jnp.int32)
+    b = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(4, n_sp)), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(ring.polymul(a, b)), np.asarray(plain.polymul(a, b))
+    )
+
+
+def test_sp_open_roundtrip_large_n(mesh_dpsp):
+    """VERDICT item 3: open-proof roundtrip at N=8192 with the ring axis
+    sharded over sp composed with dp -- sp-aware matvec_key,
+    scalar_mul_add, and 96-bit norm reductions, end to end."""
+    from ringzk_tpu.parallel import protocol_sp
+
+    n_big = 8192
+    kk, kx, kp = jax.random.split(jax.random.PRNGKey(20), 3)
+    ck = rz.keygen(kk, PARAMS, n_big)
+    x = jax.random.randint(
+        kx, (8, PARAMS.l, n_big), -PARAMS.q, PARAMS.q + 1, jnp.int32
+    )
+    ok, all_ok = protocol_sp.open_roundtrip_sp(mesh_dpsp, kp, ck, x, PARAMS)
+    assert ok.shape == (8,)
+    assert bool(jnp.all(ok)) and bool(all_ok)
+
+
+def test_sp_linear_and_sum_roundtrips(mesh_dpsp):
+    from ringzk_tpu.parallel import protocol_sp
+
+    n_sp = 64
+    kk, kg, kx, kp, kp2 = jax.random.split(jax.random.PRNGKey(21), 5)
+    ck = rz.keygen(kk, PARAMS, n_sp)
+    g = jax.random.randint(kg, (8, n_sp), -PARAMS.q, PARAMS.q + 1, jnp.int32)
+    x = jax.random.randint(
+        kx, (8, PARAMS.l, n_sp), -PARAMS.q, PARAMS.q + 1, jnp.int32
+    )
+    ok, all_ok = protocol_sp.linear_roundtrip_sp(mesh_dpsp, kp, ck, g, x, PARAMS)
+    assert bool(all_ok)
+    gs = jax.random.randint(kg, (8, 3, n_sp), -PARAMS.q, PARAMS.q + 1, jnp.int32)
+    xs = jax.random.randint(
+        kx, (8, 3, PARAMS.l, n_sp), -PARAMS.q, PARAMS.q + 1, jnp.int32
+    )
+    ok, all_ok = protocol_sp.sum_roundtrip_sp(mesh_dpsp, kp2, ck, gs, xs, PARAMS)
+    assert bool(all_ok)
+
+
+def test_sp_open_forged_rejected(mesh_dpsp):
+    """Negative path under sp sharding: the sp-aware verifier still
+    rejects -- run the phases with the override installed and forge z."""
+    from ringzk_tpu.ops import ntt as ntt_mod
+    from ringzk_tpu.parallel.ring_sp import SpRing
+    from ringzk_tpu.protocols import open as open_mod
+
+    n_sp = 64
+    ring = SpRing(n=n_sp, q=Q, mesh=mesh_dpsp, axis="sp", batch_axis="dp")
+    kk, kx, kp, kc = jax.random.split(jax.random.PRNGKey(22), 4)
+    ck = rz.keygen(kk, PARAMS, n_sp)
+    x = jax.random.randint(
+        kx, (8, PARAMS.l, n_sp), -PARAMS.q, PARAMS.q + 1, jnp.int32
+    )
+    with ntt_mod.ring_override(ring):
+        rctx, pcom = open_mod.prover_commit(kp, ck, x, PARAMS)
+        vctx, chal = open_mod.generate_challenge(kc, pcom, PARAMS)
+        resp = open_mod.create_response(rctx, chal, PARAMS)
+        assert bool(jnp.all(open_mod.verify(ck, resp, vctx, PARAMS)))
+        forged = resp._replace(z=resp.z.at[..., 0, 0].add(1))
+        assert not bool(jnp.any(open_mod.verify(ck, forged, vctx, PARAMS)))
+
+
+# -- tp: CRT prime axis sharded ----------------------------------------------
+
+
+def test_tp_polymul_matches_plain(rng):
+    """The P=3 prime axis sharded over "tp": per-prime NTTs run tp-locally,
+    Garner gathers the residues (parallel/ntt_tp.py)."""
+    from ringzk_tpu.parallel import ntt_tp
+
+    if len(jax.devices()) < 3:
+        pytest.skip("needs 3 devices (run via scripts/pytest-cpu)")
+    mesh = ntt_tp.make_tp_mesh(dp=1)
+    n_tp = 256
+    a = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(n_tp,)), jnp.int32)
+    b = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(n_tp,)), jnp.int32)
+    got = np.asarray(ntt_tp.polymul_tp(mesh, a, b, n_tp, Q))
+    want = np.asarray(ntt.get_ring(n_tp, Q).polymul(a, b))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tp_dp_composed(rng):
+    from ringzk_tpu.parallel import ntt_tp
+
+    if len(jax.devices()) < 6:
+        pytest.skip("needs 6 devices (run via scripts/pytest-cpu)")
+    mesh = ntt_tp.make_tp_mesh(dp=2)
+    n_tp = 256
+    a = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(4, n_tp)), jnp.int32)
+    b = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(4, n_tp)), jnp.int32)
+    got = np.asarray(ntt_tp.polymul_tp(mesh, a, b, n_tp, Q, batch_axis="dp"))
+    want = np.asarray(ntt.get_ring(n_tp, Q).polymul(a, b))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tp_wrong_axis_size_raises(rng):
+    from ringzk_tpu.parallel import ntt_tp
+    from jax.sharding import Mesh as JMesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = JMesh(np.asarray(jax.devices()[:4]).reshape(4), ("tp",))
+    a = jnp.zeros((16,), jnp.int32)
+    with pytest.raises(ValueError, match="tp axis"):
+        ntt_tp.polymul_tp(mesh, a, a, 16, Q)
