@@ -163,12 +163,13 @@ def _tables_mxu(p: int, g: int, n: int):
     assert dout * gdigi * n2 * 128 * 128 < 2**31
 
     shift16 = ctx.h_to_mont(65536)
+    shifts_mont = tuple(ctx.h_to_mont(pow(256, w, p)) for w in range(dout))
     return dict(
         n1=n1, n2=n2, din=din, dout=dout, gdig=gdig, gdigi=gdigi,
         tw=tw, tw_shoup=tw_shoup,
         m1=m1.astype(np.int8), m2=m2.astype(np.int8),
         m1i=m1i.astype(np.int8), m2i=m2i.astype(np.int8),
-        shift16=shift16,
+        shift16=shift16, shifts_mont=shifts_mont,
     )
 
 
@@ -187,13 +188,42 @@ def _bdot8(a, b):
 
 def _fold16(ctx: MontCtx, shift16: int, hw):
     """hw: [..., dout(=4), M] int32 digit-plane stack -> [0, p) uint32 via
-    pairwise int32 combine + one Montgomery fold."""
+    pairwise int32 combine + one Montgomery fold.
+
+    SAFETY: the pairwise combine h_lo + 256*h_hi is only exact when
+    257 * max|h| < 2^31 -- callers must assert their accumulation bound
+    against _PAIR_FOLD_LIMIT (the four-step path does; the dense path at
+    N >= 128 canNOT and uses _fold_planes instead)."""
     p0 = hw[..., 0, :] + 256 * hw[..., 1, :]
     p1 = hw[..., 2, :] + 256 * hw[..., 3, :]
     return ctx.add(
         ctx.reduce_i32_centered(p0),
         ctx.mont_mul(ctx.reduce_i32_centered(p1), np.uint32(shift16)),
     )
+
+
+_PAIR_FOLD_LIMIT = 2**31 // 257  # max |plane| for the paired int32 combine
+
+
+def _fold_planes(ctx: MontCtx, shifts_mont, hw):
+    """Wrap-safe digit fold: hw [..., dout, M] int32 -> [0, p) uint32.
+
+    Reduces every plane mod p *before* weighting (one REDC + one Montgomery
+    multiply per plane), so it is exact for any int32 plane values -- the
+    dense NTT's step-1 sums can reach din*N*128^2 (~2^25 at N=512), where
+    the paired combine in _fold16 could wrap for adversarially aligned
+    digit patterns (e.g. verifier-side transforms of attacker-chosen wire
+    values). shifts_mont[w] = 256^w * R mod p."""
+    acc = ctx.reduce_i32_centered(hw[..., 0, :])
+    for w in range(1, hw.shape[-2]):
+        acc = ctx.add(
+            acc,
+            ctx.mont_mul(
+                ctx.reduce_i32_centered(hw[..., w, :]),
+                np.uint32(shifts_mont[w]),
+            ),
+        )
+    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -259,6 +289,7 @@ def _tables_dense(p: int, g: int, n: int):
         din=din, dout=dout,
         mf=mf.astype(np.int8), mi=mi.astype(np.int8),
         shift16=ctx.h_to_mont(65536),
+        shifts_mont=tuple(ctx.h_to_mont(pow(256, w, p)) for w in range(dout)),
     )
 
 
@@ -284,39 +315,46 @@ def _dense_apply(ctx: MontCtx, t, x_i32, n: int):
     )  # [R, din*N], columns ordered (u, j)
     r = x2.shape[0]
     h = _dot8(lhs, t["m"]).reshape(r, dout, n)
-    return _fold16(ctx, t["shift16"], h).reshape(lead + (n,))
+    # |h| can reach din*N*128^2 (~2^25 at N=512): the paired fold could
+    # wrap for adversarially aligned digits, so fold plane-by-plane
+    return _fold_planes(ctx, t["shifts_mont"], h).reshape(lead + (n,))
 
 
 def fwd_one_dense(ring, i: int, x):
     """Dense-matmul forward NTT of prime i: int32 [..., N] (centered, or any
-    int32) -> [0, p) uint32 [..., N], bit-identical to ntt._fwd_one."""
-    from .ntt import GENERATORS, PRIMES
+    int32) -> [0, p) uint32 [..., N], bit-identical to ntt._fwd_one. Routes
+    through the fused Pallas digitize/matmul/fold kernel on TPU backends
+    (pallas/ntt_dense_kernel.py); composed XLA ops elsewhere."""
+    from .ntt import GENERATORS, PRIMES, _use_pallas
 
     n = x.shape[-1]
     t = _tables_dense(PRIMES[i], GENERATORS[i], n)
-    return _dense_apply(
-        ring.mont[i],
-        {"din": t["din"], "dout": t["dout"], "m": jnp.asarray(t["mf"]),
-         "shift16": t["shift16"]},
-        jnp.asarray(x, jnp.int32),
-        n,
-    )
+    table = {"din": t["din"], "dout": t["dout"], "m": jnp.asarray(t["mf"]),
+             "shifts_mont": t["shifts_mont"]}
+    x32 = jnp.asarray(x, jnp.int32)
+    if _use_pallas():
+        from .pallas import ntt_dense_kernel
+
+        return ntt_dense_kernel.dense_apply_pallas(ring.mont[i], table, x32, n)
+    return _dense_apply(ring.mont[i], table, x32, n)
 
 
 def inv_one_dense(ring, i: int, xh):
     """Dense-matmul inverse NTT of prime i (incl. N^{-1}, psi un-twist):
-    [0, p) uint32 [..., N] -> [0, p) uint32, bit-identical to ntt._inv_one."""
-    from .ntt import GENERATORS, PRIMES
+    [0, p) uint32 [..., N] -> [0, p) uint32, bit-identical to ntt._inv_one.
+    Fused Pallas kernel on TPU (see fwd_one_dense)."""
+    from .ntt import GENERATORS, PRIMES, _use_pallas
 
     n = xh.shape[-1]
     t = _tables_dense(PRIMES[i], GENERATORS[i], n)
-    return _dense_apply(
-        ring.mont[i],
-        {"din": t["din"], "dout": t["dout"], "m": jnp.asarray(t["mi"]),
-         "shift16": t["shift16"]},
-        jax.lax.bitcast_convert_type(xh, jnp.int32),
-        n,
-    )
+    table = {"din": t["din"], "dout": t["dout"], "m": jnp.asarray(t["mi"]),
+             "shifts_mont": t["shifts_mont"]}
+    xi = jax.lax.bitcast_convert_type(xh, jnp.int32)
+    if _use_pallas():
+        from .pallas import ntt_dense_kernel
+
+        return ntt_dense_kernel.dense_apply_pallas(ring.mont[i], table, xi, n)
+    return _dense_apply(ring.mont[i], table, xi, n)
 
 
 def fwd_one(ring, i: int, x):
@@ -355,7 +393,7 @@ def fwd_one_mxu(ring, i: int, x):
     gd = balanced_digits(av, gdig)  # [g, R, j1, v, c]
     lhs2 = jnp.transpose(gd, (4, 1, 3, 0, 2)).reshape(n2, r, dout * gdig * n1)
     h = _bdot8(lhs2, jnp.asarray(t["m2"])).reshape(n2, r, dout, n1)
-    out = _fold16(ctx, t["shift16"], h)  # [c, R, d] uint32
+    out = _fold_planes(ctx, t["shifts_mont"], h)  # [c, R, d] uint32
     return jnp.transpose(out, (1, 0, 2)).reshape(lead + (n,))
 
 
@@ -378,5 +416,5 @@ def inv_one_mxu(ring, i: int, xh):
     gd = balanced_digits(uv, gdigi)  # [g, R, c, v, j1]
     lhs2 = jnp.transpose(gd, (4, 1, 3, 0, 2)).reshape(n1, r, dout * gdigi * n2)
     h = _bdot8(lhs2, jnp.asarray(t["m2i"])).reshape(n1, r, dout, n2)
-    out = _fold16(ctx, t["shift16"], h)  # [j1, R, j2] uint32
+    out = _fold_planes(ctx, t["shifts_mont"], h)  # [j1, R, j2] uint32
     return jnp.transpose(out, (1, 2, 0)).reshape(lead + (n,))
