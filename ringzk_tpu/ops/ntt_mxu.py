@@ -335,7 +335,10 @@ def fwd_one_dense(ring, i: int, x):
     if _use_pallas():
         from .pallas import ntt_dense_kernel
 
-        return ntt_dense_kernel.dense_apply_pallas(ring.mont[i], table, x32, n)
+        if ntt_dense_kernel.fits_vmem(n):
+            return ntt_dense_kernel.dense_apply_pallas(
+                ring.mont[i], table, x32, n
+            )
     return _dense_apply(ring.mont[i], table, x32, n)
 
 
@@ -353,7 +356,10 @@ def inv_one_dense(ring, i: int, xh):
     if _use_pallas():
         from .pallas import ntt_dense_kernel
 
-        return ntt_dense_kernel.dense_apply_pallas(ring.mont[i], table, xi, n)
+        if ntt_dense_kernel.fits_vmem(n):
+            return ntt_dense_kernel.dense_apply_pallas(
+                ring.mont[i], table, xi, n
+            )
     return _dense_apply(ring.mont[i], table, xi, n)
 
 

@@ -37,6 +37,15 @@ from ..montgomery import MontCtx
 
 TILE_R = 256  # rows per grid step: int8 lhs 0.5 MB, int32 product 2 MB at N=512
 
+# Largest N whose [4N, 4N] int8 operator (+ tiles) fits the ~16 MB VMEM
+# budget: 4 MB at 512; 16 MB at 1024 leaves no room for operands, so the
+# dense engine falls back to the composed XLA path there.
+PALLAS_DENSE_MAX_N = 512
+
+
+def fits_vmem(n: int) -> bool:
+    return n <= PALLAS_DENSE_MAX_N
+
 
 def _dense_kernel(ctx: MontCtx, din: int, dout: int, n: int, shifts_mont,
                   x_ref, m_ref, o_ref):
