@@ -30,6 +30,15 @@ from ..montgomery import MontCtx
 TILE_B = 256
 
 
+def _tile_for(n: int, rows: int) -> int:
+    """Row-tile size bounded by a VMEM budget that scales inversely with N:
+    the stage chain keeps O(1) [tile, N] u32 planes live per prime, and at
+    TILE_B=256 the footprint is proven at N<=512; halve the tile per
+    doubling beyond that (N=1024 OOM'd the 16 MB scoped vmem otherwise)."""
+    budget = max(8, (TILE_B * 512) // max(n, 512))
+    return max(1, min(TILE_B, rows, budget))
+
+
 def _shoup_mul_inline(ctx: MontCtx, w, w_shoup, x):
     """Shoup product on uint32 arrays (same algebra as MontCtx.shoup_mul --
     twiddles are static constants with precomputed floor(w<<32/p))."""
@@ -177,7 +186,7 @@ def fwd_all_pallas(ring, x, num: int, interpret: bool = False):
     lead = x.shape[:-1]
     x2d = x.reshape((-1, n))
     rows = x2d.shape[0]
-    tile = min(TILE_B, rows)
+    tile = _tile_for(n, rows)
     pad_rows = (-rows) % tile
     if pad_rows:
         x2d = jnp.pad(x2d, ((0, pad_rows), (0, 0)))
@@ -209,7 +218,7 @@ def inv_all_pallas(ring, xhat, interpret: bool = False):
     lead = xhat.shape[1:-1]
     x2d = xhat.reshape((num, -1, n))
     rows = x2d.shape[1]
-    tile = min(TILE_B, rows)
+    tile = _tile_for(n, rows)
     pad_rows = (-rows) % tile
     if pad_rows:
         x2d = jnp.pad(x2d, ((0, 0), (0, pad_rows), (0, 0)))
@@ -292,7 +301,7 @@ def scalar_mul_add_pallas(ring, d, m, t, num: int, interpret: bool = False):
     m3 = jnp.moveaxis(m.reshape((-1, rows, n)), 1, 0)
     t3 = jnp.moveaxis(t.reshape((-1, rows, n)), 1, 0)
     b = d2.shape[0]
-    tile = min(TILE_B, b)
+    tile = _tile_for(n, b)
     pad_rows = (-b) % tile
     if pad_rows:
         d2 = jnp.pad(d2, ((0, pad_rows), (0, 0)))
@@ -330,7 +339,7 @@ def scalar_mul_add_pallas(ring, d, m, t, num: int, interpret: bool = False):
 
 def _call(kernel, x2d, w, n, interpret):
     b = x2d.shape[0]
-    tile = min(TILE_B, b)
+    tile = _tile_for(n, b)
     grid = (pl.cdiv(b, tile),)
     return pl.pallas_call(
         kernel,
@@ -352,9 +361,9 @@ def fwd_one_pallas(ctx: MontCtx, w_fwd, x, interpret: bool = False):
     n = x.shape[-1]
     lead = x.shape[:-1]
     x2d = x.reshape((-1, n))
-    if x2d.shape[0] % min(TILE_B, x2d.shape[0]):
-        pad = min(TILE_B, x2d.shape[0])
-        pad_rows = (-x2d.shape[0]) % pad
+    pad = _tile_for(n, x2d.shape[0])
+    pad_rows = (-x2d.shape[0]) % pad
+    if pad_rows:
         x2d = jnp.pad(x2d, ((0, pad_rows), (0, 0)))
     out = _call(functools.partial(_fwd_kernel, ctx, n), x2d, w_fwd, n, interpret)
     flat = 1
@@ -368,7 +377,7 @@ def inv_one_pallas(ctx: MontCtx, w_inv, n_inv_scale, x, interpret: bool = False)
     n = x.shape[-1]
     lead = x.shape[:-1]
     x2d = x.reshape((-1, n))
-    pad = min(TILE_B, x2d.shape[0]) or 1
+    pad = _tile_for(n, x2d.shape[0])
     pad_rows = (-x2d.shape[0]) % pad
     if pad_rows:
         x2d = jnp.pad(x2d, ((0, pad_rows), (0, 0)))
