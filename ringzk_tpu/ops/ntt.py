@@ -42,13 +42,6 @@ NUM_PRIMES = len(PRIMES)
 M_PROD = PRIMES[0] * PRIMES[1] * PRIMES[2]
 
 
-def _use_mxu_ntt() -> bool:
-    """Route NTT transforms through the four-step int8 MXU matmul path
-    (ops/ntt_mxu.py). Opt-in: RINGZK_NTT=mxu. Bit-identical to the
-    stage-chain paths (tests/test_ntt_mxu.py)."""
-    return os.environ.get("RINGZK_NTT") == "mxu"
-
-
 def _use_pallas() -> bool:
     """Route NTT transforms through the fused Pallas kernel.
 
@@ -269,13 +262,6 @@ class RingContext:
         caller must guarantee |integer coeff| < prod(PRIMES[:num]) / 2; use
         :meth:`primes_needed` to pick num from a bound.
         """
-        if _use_mxu_ntt():
-            from . import ntt_mxu
-
-            x32 = jnp.asarray(x, jnp.int32)
-            return jnp.stack(
-                [ntt_mxu.fwd_one(self, i, x32) for i in range(num)], axis=0
-            )
         if _use_pallas():
             from .pallas import ntt_kernel
 
@@ -320,12 +306,6 @@ class RingContext:
         before the outer multiply, or reconstruction silently wraps mod M.
         """
         num = xhat.shape[0]
-        if _use_mxu_ntt():
-            from . import ntt_mxu
-
-            return self._crt_to_centered(
-                [ntt_mxu.inv_one(self, i, xhat[i]) for i in range(num)]
-            )
         if _use_pallas():
             from .pallas import ntt_kernel
 
