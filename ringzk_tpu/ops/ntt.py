@@ -434,10 +434,16 @@ class RingContext:
         struct = m.shape[nbatch:-1]
         mf = m.reshape(d.shape[:-1] + (-1, m.shape[-1]))
         tf = t.reshape(mf.shape)
-        if os.environ.get("RINGZK_FUSED_SCALAR") == "1" and _use_pallas():
+        fused = os.environ.get("RINGZK_FUSED_SCALAR")
+        if fused in ("1", "2") and _use_pallas():
             from .pallas import ntt_kernel
 
-            out = ntt_kernel.scalar_mul_add_pallas(self, d, mf, tf, num)
+            fn = (
+                ntt_kernel.scalar_mul_add_pallas
+                if fused == "1"
+                else ntt_kernel.scalar_mul_add_pallas_v2
+            )
+            out = fn(self, d, mf, tf, num)
         else:
             d_hat = self.fwd_const(d, num)
             dm = self.inv(self.dot_hat(d_hat[..., None, :], self.fwd(mf, num)))

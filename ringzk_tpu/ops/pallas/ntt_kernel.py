@@ -337,6 +337,103 @@ def scalar_mul_add_pallas(ring, d, m, t, num: int, interpret: bool = False):
     return jnp.moveaxis(out[:, :b], 0, 1).reshape(lead + (rows, n))
 
 
+def _scalar_mul_add_kernel_v2(
+    ring, num: int, n: int, rows: int, d_ref, m_ref, t_ref, w_ref, wi_ref, o_ref
+):
+    """v2 of the fused ``t + d*m`` kernel: ALL rows of m live in the block
+    and the scalar's forward transform is computed once per prime per tile
+    (v1 walked rows on a grid axis and re-transformed d for each -- the
+    measured reason it lost to the composed chain). Transform count now
+    matches the composed chain exactly -- num*(rows+1) forwards +
+    num*rows inverses -- while keeping its advantage: one kernel launch,
+    no [P, B, rows, N] intermediates in HBM.
+
+    d: [tile, N]; m, t, o blocks: [tile, rows, N] int32 centered.
+    """
+    d = d_ref[...]
+    qc = ring.qctx
+    qq = np.uint32(ring.q)
+    dh = []
+    for i in range(num):
+        ctx = ring.mont[i]
+        dr = ctx.reduce_i32_centered(d)
+        dh.append(ctx.to_mont(_fwd_stages_lazy(ctx, n, dr, w_ref[i])))
+    for r in range(rows):
+        imgs = []
+        for i in range(num):
+            ctx = ring.mont[i]
+            mr = ctx.reduce_i32_centered(m_ref[:, r])
+            mhat = _fwd_stages_lazy(ctx, n, mr, w_ref[i])
+            imgs.append(
+                _inv_stages_lazy(
+                    ctx, n, ring._tables[i][2], ctx.mont_mul(dh[i], mhat),
+                    wi_ref[i],
+                )
+            )
+        dm = ring._crt_to_centered(imgs)
+        t = t_ref[:, r]
+        ua = jax.lax.bitcast_convert_type(dm, jnp.uint32) + jnp.where(
+            dm < 0, qq, np.uint32(0)
+        )
+        ub = jax.lax.bitcast_convert_type(t, jnp.uint32) + jnp.where(
+            t < 0, qq, np.uint32(0)
+        )
+        o_ref[:, r] = ring.to_centered(qc.add(ua, ub))
+
+
+def scalar_mul_add_pallas_v2(ring, d, m, t, num: int, interpret: bool = False):
+    """Fused ``t + d * m`` with rows in-block (see _scalar_mul_add_kernel_v2).
+
+    Same contract as scalar_mul_add_pallas; natural [B, rows, N] layout
+    (no moveaxis), batch tile shrunk by the rows multiplier to respect the
+    VMEM budget.
+    """
+    n = d.shape[-1]
+    assert m.shape[-1] == n and m.shape[:-2] == d.shape[:-1], (d.shape, m.shape)
+    assert t.shape == m.shape, (t.shape, m.shape)
+    rows = m.shape[-2]
+    lead = d.shape[:-1]
+    d2 = d.reshape((-1, n))
+    m3 = m.reshape((-1, rows, n))
+    t3 = t.reshape((-1, rows, n))
+    b = d2.shape[0]
+    tile = max(8, _tile_for(n, b) // (rows + 1))
+    tile = min(tile, b)
+    pad_rows = (-b) % tile
+    if pad_rows:
+        d2 = jnp.pad(d2, ((0, pad_rows), (0, 0)))
+        m3 = jnp.pad(m3, ((0, pad_rows), (0, 0), (0, 0)))
+        t3 = jnp.pad(t3, ((0, pad_rows), (0, 0), (0, 0)))
+    w = _stacked_tables(ring, num, fwd=True)
+    wi = _stacked_tables(ring, num, fwd=False)
+    logn = n.bit_length() - 1
+    out = pl.pallas_call(
+        functools.partial(_scalar_mul_add_kernel_v2, ring, num, n, rows),
+        grid=(pl.cdiv(d2.shape[0], tile),),
+        in_specs=[
+            pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile, rows, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile, rows, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (num, 2, logn, n), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (num, 2, logn, n), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, rows, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((d2.shape[0], rows, n), jnp.int32),
+        interpret=interpret,
+    )(d2, m3, t3, w, wi)
+    return out[:b].reshape(lead + (rows, n))
+
+
 def _call(kernel, x2d, w, n, interpret):
     b = x2d.shape[0]
     tile = _tile_for(n, b)

@@ -136,3 +136,7 @@ def test_pallas_scalar_mul_add_matches_composed(rng, n, rows, num):
     got = np.asarray(ntt_kernel.scalar_mul_add_pallas(ring, d, m, t, num,
                                                       interpret=True))
     np.testing.assert_array_equal(got, want)
+    # v2 (rows in-block, scalar transformed once) must also be bit-exact
+    got2 = np.asarray(ntt_kernel.scalar_mul_add_pallas_v2(ring, d, m, t, num,
+                                                          interpret=True))
+    np.testing.assert_array_equal(got2, want)
