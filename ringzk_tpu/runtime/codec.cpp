@@ -16,6 +16,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -77,6 +79,42 @@ uint64_t rzk_decode_rows(const uint8_t* in, uint64_t in_len, int32_t* data,
     }
   }
   return (uint64_t)(p - in);
+}
+
+// Multithreaded encode for large payloads (the multi-host interchange path:
+// e.g. 64K proofs' worth of responses). Rows are independent, so each thread
+// encodes a contiguous row chunk into its bound-sized slot of `out`; the
+// main thread then compacts the slots left with memmove. Byte-identical
+// output to rzk_encode_rows. n_threads <= 1 falls through to single-thread.
+uint64_t rzk_encode_rows_mt(const int32_t* data, uint64_t n_rows,
+                            uint64_t row_len, uint8_t* out,
+                            uint32_t n_threads) {
+  if (n_threads <= 1 || n_rows < 2 * n_threads) {
+    return rzk_encode_rows(data, n_rows, row_len, out);
+  }
+  uint64_t chunk = (n_rows + n_threads - 1) / n_threads;
+  uint64_t slot = chunk * (4 + 5 * row_len);  // per-chunk bound
+  std::vector<uint64_t> sizes(n_threads, 0);
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (uint32_t t = 0; t < n_threads; ++t) {
+    uint64_t r0 = (uint64_t)t * chunk;
+    if (r0 >= n_rows) break;
+    uint64_t rows_here = (r0 + chunk <= n_rows) ? chunk : (n_rows - r0);
+    threads.emplace_back([=, &sizes]() {
+      sizes[t] = rzk_encode_rows(data + r0 * row_len, rows_here, row_len,
+                                 out + (uint64_t)t * slot);
+    });
+  }
+  for (auto& th : threads) th.join();
+  // compact: slot t's bytes move to the end of slot t-1's bytes
+  uint64_t total = sizes[0];
+  for (uint32_t t = 1; t < n_threads; ++t) {
+    if (sizes[t] == 0) continue;
+    std::memmove(out + total, out + (uint64_t)t * slot, sizes[t]);
+    total += sizes[t];
+  }
+  return total;
 }
 
 }  // extern "C"

@@ -60,6 +60,13 @@ def _native():
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_uint64, ctypes.c_uint64,
             ]
+            if hasattr(lib, "rzk_encode_rows_mt"):
+                lib.rzk_encode_rows_mt.restype = ctypes.c_uint64
+                lib.rzk_encode_rows_mt.argtypes = [
+                    ctypes.POINTER(ctypes.c_int32), ctypes.c_uint64,
+                    ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_uint32,
+                ]
             _LIB = lib
         else:
             _LIB = False
@@ -110,6 +117,11 @@ def _decode_rows_numpy(buf: memoryview, n_rows: int, row_len: int):
     return data, pos
 
 
+# Row count past which the native encoder fans out across threads (the
+# multi-host interchange path serializes 10^4..10^5 proofs at once).
+_MT_ROWS = 4096
+
+
 def encode_rows(a: np.ndarray) -> bytes:
     """Trailing-zero-trimmed zigzag varint encoding of [..., N] int32."""
     a2d = np.ascontiguousarray(a, np.int32).reshape(-1, a.shape[-1])
@@ -117,10 +129,14 @@ def encode_rows(a: np.ndarray) -> bytes:
     if lib is not None:
         bound = lib.rzk_encode_bound(a2d.shape[0], a2d.shape[1])
         out = (ctypes.c_uint8 * bound)()
-        n = lib.rzk_encode_rows(
-            a2d.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            a2d.shape[0], a2d.shape[1], out,
-        )
+        data = a2d.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        if a2d.shape[0] >= _MT_ROWS and hasattr(lib, "rzk_encode_rows_mt"):
+            n = lib.rzk_encode_rows_mt(
+                data, a2d.shape[0], a2d.shape[1], out,
+                min(8, os.cpu_count() or 1),
+            )
+        else:
+            n = lib.rzk_encode_rows(data, a2d.shape[0], a2d.shape[1], out)
         return bytes(bytearray(out)[:n])
     return _encode_rows_numpy(a2d)
 

@@ -229,3 +229,32 @@ def test_corrupt_input_rejected():
         serial.loads(b"XXXX" + b"\0" * 16)
     with pytest.raises(ValueError):
         serial.decode_rows(b"\xff\xff\xff\xff", (1, 4))
+
+
+def test_native_mt_encode_matches_single_thread(rng):
+    """The multithreaded native encoder must produce byte-identical output
+    to the single-threaded one (and to numpy) on a large payload."""
+    if serial._native() is None:
+        pytest.skip("native codec unavailable")
+    lib = serial._native()
+    if not hasattr(lib, "rzk_encode_rows_mt"):
+        pytest.skip("libcodec.so predates rzk_encode_rows_mt; rebuild")
+    import ctypes
+
+    a = rng.integers(-(2**31), 2**31 - 1, size=(9000, 16), dtype=np.int64).astype(
+        np.int32
+    )
+    a[:, 10:] = 0
+    a2d = np.ascontiguousarray(a)
+    bound = lib.rzk_encode_bound(a2d.shape[0], a2d.shape[1])
+    data = a2d.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    out_st = (ctypes.c_uint8 * bound)()
+    n_st = lib.rzk_encode_rows(data, a2d.shape[0], a2d.shape[1], out_st)
+    out_mt = (ctypes.c_uint8 * bound)()
+    n_mt = lib.rzk_encode_rows_mt(data, a2d.shape[0], a2d.shape[1], out_mt, 7)
+    assert n_mt == n_st
+    assert bytes(bytearray(out_mt)[:n_mt]) == bytes(bytearray(out_st)[:n_st])
+    # the public path (>= _MT_ROWS rows routes through mt) round-trips
+    enc = serial.encode_rows(a)
+    assert enc == bytes(bytearray(out_st)[:n_st])
+    np.testing.assert_array_equal(serial.decode_rows(enc, a.shape), a)
