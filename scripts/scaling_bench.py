@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--per-device", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument(
+        "--sp", type=int, default=0,
+        help="also run the sp (ring-axis) strong-scaling sweep at this N",
+    )
     args = ap.parse_args()
 
     import ringzk_tpu as rz
@@ -100,10 +104,62 @@ def main():
                 "devices": counts,
                 "proofs_per_s": [round(r, 1) for r in rates],
                 "efficiency": [round(e, 3) for e in eff],
-                "backend": jax.devices()[0].platform,
             }
-        )
+        ),
+        flush=True,
     )
+
+    if args.sp:
+        # ring-axis (sp) strong scaling: fixed batch, N sharded over 1..D
+        # devices through the protocol layer (parallel/protocol_sp.py)
+        from ringzk_tpu.parallel import protocol_sp
+
+        n_big = args.sp
+        ck2 = rz.keygen(kk, params, n_big)
+        b = max(8, args.per_device // 8)
+        x2 = jax.random.randint(
+            kx, (b, params.l, n_big), -params.q, params.q + 1, dtype=jnp.int32
+        )
+        sp_rates = []
+        sp_counts = [c for c in counts if n_big // c >= 2]
+        for nd in sp_counts:
+            mesh2 = protocol_sp.make_sp_mesh(1, nd)
+            t0 = None
+            ok, all_ok = protocol_sp.open_roundtrip_sp(mesh2, kp, ck2, x2, params)
+            jax.block_until_ready(ok)
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                ok, all_ok = protocol_sp.open_roundtrip_sp(
+                    mesh2, kp, ck2, x2, params
+                )
+            jax.block_until_ready(ok)
+            dt = (time.perf_counter() - t0) / args.iters
+            if not bool(all_ok):
+                print(json.dumps({"error": f"sp verification failed at {nd}"}))
+                sys.exit(1)
+            sp_rates.append(b / dt)
+            print(
+                json.dumps(
+                    {
+                        "metric": f"open proofs/s, N={n_big} sharded over "
+                        f"{nd} sp device(s)",
+                        "devices": nd,
+                        "value": round(b / dt, 1),
+                        "unit": "proofs/s",
+                    }
+                ),
+                flush=True,
+            )
+        print(
+            json.dumps(
+                {
+                    "metric": "sp strong-scaling speedup (vs 1 device)",
+                    "devices": sp_counts,
+                    "speedup": [round(r / sp_rates[0], 3) for r in sp_rates],
+                }
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
