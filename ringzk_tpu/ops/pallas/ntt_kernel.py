@@ -397,7 +397,10 @@ def scalar_mul_add_pallas_v2(ring, d, m, t, num: int, interpret: bool = False):
     m3 = m.reshape((-1, rows, n))
     t3 = t.reshape((-1, rows, n))
     b = d2.shape[0]
-    tile = max(8, _tile_for(n, b) // (rows + 1))
+    # Mosaic stack-allocates the stage intermediates of all num*(rows+1)
+    # transform chains at once; measured scoped-vmem at N=512 tile=128
+    # rows=1 num=2 was 18.7 MB, so halve beyond the per-plane estimate.
+    tile = max(8, _tile_for(n, b) // (2 * (rows + 1)))
     tile = min(tile, b)
     pad_rows = (-b) % tile
     if pad_rows:
