@@ -416,11 +416,13 @@ class RingContext:
         composed fwd_const/fwd/inv + add_centered chain elsewhere.
         ``num`` is the caller's exact CRT bound for d*m, as in polymul.
 
-        The single-kernel Pallas form is opt-in (RINGZK_FUSED_SCALAR=1):
-        measured end-to-end on the target TPU it is slightly SLOWER than
-        the composed chain (450k vs 459k proofs/s headline) -- recomputing
-        the scalar transform per row and the serialized in-kernel stage
-        chain cost more than the HBM round-trips they save."""
+        The single-kernel Pallas forms are opt-in and measured SLOWER than
+        the composed chain on the target TPU: v1 (RINGZK_FUSED_SCALAR=1,
+        rows on a grid axis, d re-transformed per row) 450k vs 459k
+        headline; v2 (=2, rows in-block, d transformed once) 267k -- its
+        VMEM-constrained batch tiles starve the VPU. The composed chain's
+        full-batch Pallas launches win; both kernels are kept (bit-exact,
+        tested) as the record of the attempt."""
         from . import zq
 
         d = jnp.asarray(d, jnp.int32)
