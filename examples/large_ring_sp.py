@@ -14,6 +14,11 @@ Run (8-device virtual CPU mesh):
     python examples/large_ring_sp.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import jax
 import jax.numpy as jnp
 
