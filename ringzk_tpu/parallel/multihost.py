@@ -110,11 +110,15 @@ def batch_verify_run(
 
     (all_ok,) = step(krun)
     all_ok.block_until_ready()  # compile + warmup
-    t0 = time.perf_counter()
-    for i in range(iters):
-        (all_ok,) = step(jax.random.fold_in(krun, i))
-    all_ok.block_until_ready()
-    dt = (time.perf_counter() - t0) / max(iters, 1)
+    times = []
+    for w in range(3):  # median-of-3 windows (remote dispatch-rate swings)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            (all_ok,) = step(jax.random.fold_in(krun, w * iters + i))
+        all_ok.block_until_ready()
+        times.append((time.perf_counter() - t0) / max(iters, 1))
+    times.sort()
+    dt = times[len(times) // 2]
 
     return {
         "all_ok": bool(all_ok),

@@ -30,14 +30,23 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, args, iters):
+def timeit(fn, args, iters, windows=5):
+    """Median of ``windows`` timing windows (the axon tunnel's dispatch
+    rate swings ~20% between single windows; see bench.py)."""
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(2):
         out = fn(*args)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    times = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / iters)
+    times.sort()
+    return times[len(times) // 2]
 
 
 def emit(name, seconds, batch):
