@@ -33,7 +33,7 @@ from ..params import Params
 from ..protocols import linear as linear_mod
 from ..protocols import open as open_mod
 from ..protocols import sum as sum_mod
-from ..protocols.commit import CommitmentKey, keygen
+from ..protocols.commit import CommitmentKey
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
