@@ -99,6 +99,181 @@ def check_rust_vector(vec: dict) -> dict:
     return results
 
 
+def _params_of(vec: dict) -> Params:
+    p = vec["params"]
+    return Params(
+        q=p["q"], b=p["b"], n=p["n"], k=p["k"], l=p["l"], kappa=p["kappa"],
+        modulus=p.get("modulus", 2 * p["q"] + 1),
+    )
+
+
+def check_rust_vector_linear(vec: dict) -> dict:
+    """Replay a recorded linear-proof transcript (x' = g*x) algebraically.
+
+    Extra fields over the open-proof format: g [N]; rp, yp [k, N]; and the
+    recorded outputs cp [n+l, N], tp [n, N], u [l, N], zp [k, N]."""
+    params = _params_of(vec)
+    n_deg = vec["n"]
+    ring = get_ring(n_deg, params.modulus)
+
+    import jax.numpy as jnp
+
+    a1 = jnp.asarray(vec["ck"]["a1"], jnp.int32)
+    a2 = jnp.asarray(vec["ck"]["a2"], jnp.int32)
+    g = jnp.asarray(vec["g"], jnp.int32)
+    x = jnp.asarray(vec["x"], jnp.int32)
+    r = jnp.asarray(vec["r"], jnp.int32)
+    rp = jnp.asarray(vec["rp"], jnp.int32)
+    y = jnp.asarray(vec["y"], jnp.int32)
+    yp = jnp.asarray(vec["yp"], jnp.int32)
+    d = jnp.asarray(vec["d"], jnp.int32)
+
+    a_hat = ring.fwd_const(jnp.concatenate([a1, a2], axis=0))
+    a1_hat = ring.fwd_const(a1)
+    a2_hat = ring.fwd_const(a2)
+    g_hat = ring.fwd_const(g)
+    d_hat = ring.fwd_const(d)
+
+    def commit_value(xv, rv):
+        zfull = jnp.concatenate(
+            [jnp.zeros((params.n, n_deg), jnp.int32), xv], axis=0
+        )
+        return ring.inv(
+            ring.add_hat(
+                mat.matvec_hat(ring, a_hat, ring.fwd(rv)), ring.fwd(zfull)
+            )
+        )
+
+    gx = ring.inv(mat.scalar_mul_hat(ring, g_hat, ring.fwd(x)))
+    c = commit_value(x, r)
+    cp = commit_value(gx, rp)
+    t = ring.inv(mat.matvec_hat(ring, a1_hat, ring.fwd(y)))
+    tp = ring.inv(mat.matvec_hat(ring, a1_hat, ring.fwd(yp)))
+    a2y = ring.inv(mat.matvec_hat(ring, a2_hat, ring.fwd(y)))
+    a2yp = ring.inv(mat.matvec_hat(ring, a2_hat, ring.fwd(yp)))
+    u = zq.sub_centered(
+        ring.qctx, ring.inv(mat.scalar_mul_hat(ring, g_hat, ring.fwd(a2y))), a2yp
+    )
+    z = zq.add_centered(
+        ring.qctx, y, ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(r)))
+    )
+    zp = zq.add_centered(
+        ring.qctx, yp, ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(rp)))
+    )
+    results = {}
+    for name, got in [("c", c), ("cp", cp), ("t", t), ("tp", tp), ("u", u),
+                      ("z", z), ("zp", zp)]:
+        # the reference derives no serde on LinearProofResponse, so its
+        # generator records z/zp as null -- they are recomputed above and
+        # checked implicitly through the verifier relation below
+        if vec.get(name) is not None:
+            results[name] = np.array_equal(
+                np.asarray(got), np.asarray(vec[name], np.int64)
+            )
+    # verifier relation: g*(a2.z) - a2.zp == (g*c2 - c2p)*d + u
+    a2z = ring.inv(mat.matvec_hat(ring, a2_hat, ring.fwd(z)))
+    a2zp = ring.inv(mat.matvec_hat(ring, a2_hat, ring.fwd(zp)))
+    lhs = zq.sub_centered(
+        ring.qctx, ring.inv(mat.scalar_mul_hat(ring, g_hat, ring.fwd(a2z))), a2zp
+    )
+    gc2 = ring.inv(
+        ring.sub_hat(
+            mat.scalar_mul_hat(ring, g_hat, ring.fwd(c[params.n :])),
+            ring.fwd(cp[params.n :]),
+        )
+    )
+    rhs = zq.add_centered(
+        ring.qctx, ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(gc2))), u
+    )
+    results["verify_eq"] = np.array_equal(np.asarray(lhs), np.asarray(rhs))
+    return results
+
+
+def check_rust_vector_sum(vec: dict) -> dict:
+    """Replay a recorded sum-proof transcript (x' = sum g_i x_i).
+
+    Vector fields: gs [V, N], xs [V, l, N], rs [V, k, N], ys [V, k, N],
+    rp, yp [k, N], d [N]; outputs cs [V, n+l, N], cp, ts [V, n, N], tp, u,
+    zs [V, k, N], zp."""
+    params = _params_of(vec)
+    n_deg = vec["n"]
+    ring = get_ring(n_deg, params.modulus)
+
+    import jax.numpy as jnp
+
+    a1 = jnp.asarray(vec["ck"]["a1"], jnp.int32)
+    a2 = jnp.asarray(vec["ck"]["a2"], jnp.int32)
+    gs = jnp.asarray(vec["gs"], jnp.int32)
+    xs = jnp.asarray(vec["xs"], jnp.int32)
+    rs = jnp.asarray(vec["rs"], jnp.int32)
+    rp = jnp.asarray(vec["rp"], jnp.int32)
+    ys = jnp.asarray(vec["ys"], jnp.int32)
+    yp = jnp.asarray(vec["yp"], jnp.int32)
+    d = jnp.asarray(vec["d"], jnp.int32)
+
+    a_hat = ring.fwd_const(jnp.concatenate([a1, a2], axis=0))
+    a1_hat = ring.fwd_const(a1)
+    a2_hat = ring.fwd_const(a2)
+    gs_hat = ring.fwd_const(gs)
+    d_hat = ring.fwd_const(d)
+
+    def commit_value(xv, rv):
+        zfull = jnp.concatenate(
+            [jnp.zeros(xv.shape[:-2] + (params.n, n_deg), jnp.int32), xv],
+            axis=-2,
+        )
+        return ring.inv(
+            ring.add_hat(
+                mat.matvec_hat(ring, a_hat, ring.fwd(rv)), ring.fwd(zfull)
+            )
+        )
+
+    xp = ring.inv(
+        ring.sum_hat(mat.scalar_mul_hat(ring, gs_hat, ring.fwd(xs)), axis=-3)
+    )
+    cs = commit_value(xs, rs)
+    cp = commit_value(xp, rp)
+    ts = ring.inv(mat.matvec_hat(ring, a1_hat, ring.fwd(ys)))
+    tp = ring.inv(mat.matvec_hat(ring, a1_hat, ring.fwd(yp)))
+    a2ys = ring.inv(mat.matvec_hat(ring, a2_hat, ring.fwd(ys)))
+    a2yp = ring.inv(mat.matvec_hat(ring, a2_hat, ring.fwd(yp)))
+    u = zq.sub_centered(
+        ring.qctx,
+        ring.inv(
+            ring.sum_hat(
+                mat.scalar_mul_hat(ring, gs_hat, ring.fwd(a2ys)), axis=-3
+            )
+        ),
+        a2yp,
+    )
+    zs = zq.add_centered(
+        ring.qctx, ys,
+        ring.inv(mat.scalar_mul_hat(ring, d_hat[..., None, :], ring.fwd(rs))),
+    )
+    zp = zq.add_centered(
+        ring.qctx, yp, ring.inv(mat.scalar_mul_hat(ring, d_hat, ring.fwd(rp)))
+    )
+    results = {}
+    for name, got in [("cs", cs), ("cp", cp), ("ts", ts), ("tp", tp),
+                      ("u", u), ("zs", zs), ("zp", zp)]:
+        results[name] = np.array_equal(
+            np.asarray(got), np.asarray(vec[name], np.int64)
+        )
+    return results
+
+
+_CHECKERS = {
+    "open": check_rust_vector,
+    "linear": check_rust_vector_linear,
+    "sum": check_rust_vector_sum,
+}
+
+
+def check_vector(vec: dict) -> dict:
+    """Dispatch on vec["protocol"] (default "open")."""
+    return _CHECKERS[vec.get("protocol", "open")](vec)
+
+
 def load_vectors(path: str):
     with open(path) as f:
         data = json.load(f)

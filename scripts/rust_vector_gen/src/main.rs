@@ -8,7 +8,10 @@
 //! needed. Run on a cargo machine and drop the output into tests/vectors/.
 
 use rand::{rngs::StdRng, SeedableRng};
-use ring_zk::{OpenProofProver, OpenProofVerifier, Params};
+use ring_zk::{
+    LinearProofProver, LinearProofVerifier, OpenProofProver, OpenProofVerifier,
+    Params, SumProofProver, SumProofVerifier,
+};
 use serde_json::{json, Value};
 
 /// Pad a serialized Polynomial (coeff list, trailing zeros trimmed by
@@ -126,6 +129,113 @@ fn one_vector<const N: usize>(seed: u64, msg: Vec<Vec<i64>>) -> Value {
     })
 }
 
+fn linear_vector<const N: usize>(seed: u64) -> Value {
+    let rng = &mut StdRng::seed_from_u64(seed);
+    let params = Params::default();
+    let ck = params.generate_commitment_key::<N>(rng);
+    let ck_json = serde_json::to_value(&ck).unwrap();
+    let x = params.prepare_value::<N>(vec![vec![1.into(), 2.into(), 3.into()]]);
+    let g = params.prepare_scalar::<N>(vec![5.into(), 7.into()]);
+    let x_json = serde_json::to_value(&x).unwrap();
+    let g_json = serde_json::to_value(&g).unwrap();
+
+    let prover = LinearProofProver::new(ck.clone(), params.clone());
+    let verifier = LinearProofVerifier::new(ck.clone(), params.clone());
+    let (rctx, pcom) = prover.commit(rng, g, x);
+    let rctx_json = serde_json::to_value(&rctx).unwrap();
+    let pcom_json = serde_json::to_value(&pcom).unwrap();
+    let (vctx, chal) = verifier.generate_challenge(rng, pcom);
+    let chal_json = serde_json::to_value(&chal).unwrap();
+    let response = prover.create_response(rctx, chal);
+    // LinearProofResponse derives no serde in the reference (a documented
+    // inconsistency) -- recompute z/zp on the Python side instead of
+    // recording them: the vector still pins every input + c/cp/t/tp/u.
+    assert!(verifier.verify(response, vctx));
+    let params_json = serde_json::to_value(&params).unwrap();
+
+    json!({
+        "protocol": "linear",
+        "n": N,
+        "seed": seed,
+        "params": {
+            "q": params_json["q"], "b": params_json["b"], "n": params_json["n"],
+            "k": params_json["k"], "l": params_json["l"],
+            "kappa": params_json["kappa"],
+        },
+        "ck": {"a1": pad_mat(&ck_json["a1"], N), "a2": pad_mat(&ck_json["a2"], N)},
+        "g": pad_poly(&g_json, N),
+        "x": pad_polyvec(&x_json, N),
+        "r": pad_mat_col(&rctx_json["opening"]["r"], N),
+        "rp": pad_mat_col(&rctx_json["opening_p"]["r"], N),
+        "y": pad_mat_col(&rctx_json["y"], N),
+        "yp": pad_mat_col(&rctx_json["yp"], N),
+        "d": pad_poly(&chal_json["d"], N),
+        "c": pad_mat_col(&pcom_json["c"]["c"], N),
+        "cp": pad_mat_col(&pcom_json["cp"]["c"], N),
+        "t": pad_polyvec(&pcom_json["t"], N),
+        "tp": pad_polyvec(&pcom_json["tp"], N),
+        "u": pad_mat_col(&pcom_json["u"], N),
+        // z/zp recomputed by the checker from (y, yp, d, r, rp)
+        "z": Value::Null, "zp": Value::Null,
+    })
+}
+
+fn sum_vector<const N: usize>(seed: u64, vl: usize) -> Value {
+    let rng = &mut StdRng::seed_from_u64(seed);
+    let params = Params::default();
+    let ck = params.generate_commitment_key::<N>(rng);
+    let ck_json = serde_json::to_value(&ck).unwrap();
+    let xs: Vec<_> = (0..vl)
+        .map(|i| params.prepare_value::<N>(vec![vec![(i as i64 + 1).into()]]))
+        .collect();
+    let gs: Vec<_> = (0..vl)
+        .map(|i| params.prepare_scalar::<N>(vec![(2 * i as i64 + 1).into()]))
+        .collect();
+    let xs_json = serde_json::to_value(&xs).unwrap();
+    let gs_json = serde_json::to_value(&gs).unwrap();
+
+    let prover = SumProofProver::new(ck.clone(), params.clone());
+    let verifier = SumProofVerifier::new(ck.clone(), params.clone());
+    let (rctx, pcom) = prover.commit(rng, gs, xs);
+    let rctx_json = serde_json::to_value(&rctx).unwrap();
+    let pcom_json = serde_json::to_value(&pcom).unwrap();
+    let (vctx, chal) = verifier.generate_challenge(rng, pcom);
+    let chal_json = serde_json::to_value(&chal).unwrap();
+    let response = prover.create_response(rctx, chal);
+    let resp_json = serde_json::to_value(&response).unwrap();
+    assert!(verifier.verify(response, vctx));
+    let params_json = serde_json::to_value(&params).unwrap();
+
+    let arr = |v: &Value, f: &dyn Fn(&Value) -> Value| -> Value {
+        Value::Array(v.as_array().unwrap().iter().map(|e| f(e)).collect())
+    };
+    json!({
+        "protocol": "sum",
+        "n": N,
+        "seed": seed,
+        "params": {
+            "q": params_json["q"], "b": params_json["b"], "n": params_json["n"],
+            "k": params_json["k"], "l": params_json["l"],
+            "kappa": params_json["kappa"],
+        },
+        "ck": {"a1": pad_mat(&ck_json["a1"], N), "a2": pad_mat(&ck_json["a2"], N)},
+        "gs": arr(&gs_json, &|p| pad_poly(p, N)),
+        "xs": arr(&xs_json, &|v| pad_polyvec(v, N)),
+        "rs": arr(&rctx_json["openings"], &|o| pad_mat_col(&o["r"], N)),
+        "rp": pad_mat_col(&rctx_json["opening_p"]["r"], N),
+        "ys": arr(&rctx_json["ys"], &|m| pad_mat_col(m, N)),
+        "yp": pad_mat_col(&rctx_json["yp"], N),
+        "d": pad_poly(&chal_json["d"], N),
+        "cs": arr(&pcom_json["cs"], &|c| pad_mat_col(&c["c"], N)),
+        "cp": pad_mat_col(&pcom_json["cp"]["c"], N),
+        "ts": arr(&pcom_json["ts"], &|t| pad_polyvec(t, N)),
+        "tp": pad_polyvec(&pcom_json["tp"], N),
+        "u": pad_mat_col(&pcom_json["u"], N),
+        "zs": arr(&resp_json["zs"], &|z| pad_mat_col(z, N)),
+        "zp": pad_mat_col(&resp_json["zp"], N),
+    })
+}
+
 fn main() {
     let mut vectors = Vec::new();
     for seed in 0..4u64 {
@@ -133,5 +243,9 @@ fn main() {
     }
     // BASELINE config 1: N=512, message [1,2,3,4]
     vectors.push(one_vector::<512>(42, vec![vec![1, 2, 3, 4]]));
+    for seed in 0..2u64 {
+        vectors.push(linear_vector::<16>(100 + seed));
+        vectors.push(sum_vector::<16>(200 + seed, 3));
+    }
     println!("{}", serde_json::to_string_pretty(&Value::Array(vectors)).unwrap());
 }

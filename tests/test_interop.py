@@ -63,6 +63,79 @@ def test_self_vector_detects_corruption():
     assert not results["z"]
 
 
+def _self_vector_linear(n=16):
+    from ringzk_tpu.protocols import linear as linear_mod
+
+    params = rz.Params()
+    kk, kx, kg, kp, kc = jax.random.split(jax.random.PRNGKey(8), 5)
+    ck = rz.keygen(kk, params, n)
+    x = jax.random.randint(kx, (params.l, n), -params.q, params.q + 1, dtype=jnp.int32)
+    g = jax.random.randint(kg, (n,), -params.q, params.q + 1, dtype=jnp.int32)
+    rctx, pcom = linear_mod.prover_commit(kp, ck, g, x, params)
+    vctx, chal = linear_mod.generate_challenge(kc, pcom, params)
+    resp = linear_mod.create_response(rctx, chal, params)
+    tol = lambda a: np.asarray(a).tolist()
+    return {
+        "protocol": "linear",
+        "n": n,
+        "params": {"q": params.q, "b": params.b, "n": params.n, "k": params.k,
+                   "l": params.l, "kappa": params.kappa, "modulus": params.modulus},
+        "ck": {"a1": tol(ck.a1), "a2": tol(ck.a2)},
+        "g": tol(g), "x": tol(x),
+        "r": tol(rctx.opening.r), "rp": tol(rctx.opening_p.r),
+        "y": tol(rctx.y), "yp": tol(rctx.yp), "d": tol(chal.d),
+        "c": tol(pcom.c.c), "cp": tol(pcom.cp.c),
+        "t": tol(pcom.t), "tp": tol(pcom.tp), "u": tol(pcom.u),
+        "z": tol(resp.z), "zp": tol(resp.zp),
+    }
+
+
+def _self_vector_sum(n=16, vl=3):
+    from ringzk_tpu.protocols import sum as sum_mod
+
+    params = rz.Params()
+    kk, kx, kg, kp, kc = jax.random.split(jax.random.PRNGKey(9), 5)
+    ck = rz.keygen(kk, params, n)
+    xs = jax.random.randint(
+        kx, (vl, params.l, n), -params.q, params.q + 1, dtype=jnp.int32
+    )
+    gs = jax.random.randint(kg, (vl, n), -params.q, params.q + 1, dtype=jnp.int32)
+    rctx, pcom = sum_mod.prover_commit(kp, ck, gs, xs, params)
+    vctx, chal = sum_mod.generate_challenge(kc, pcom, params)
+    resp = sum_mod.create_response(rctx, chal, params)
+    tol = lambda a: np.asarray(a).tolist()
+    return {
+        "protocol": "sum",
+        "n": n,
+        "params": {"q": params.q, "b": params.b, "n": params.n, "k": params.k,
+                   "l": params.l, "kappa": params.kappa, "modulus": params.modulus},
+        "ck": {"a1": tol(ck.a1), "a2": tol(ck.a2)},
+        "gs": tol(gs), "xs": tol(xs),
+        "rs": tol(rctx.openings.r), "rp": tol(rctx.opening_p.r),
+        "ys": tol(rctx.ys), "yp": tol(rctx.yp), "d": tol(chal.d),
+        "cs": tol(pcom.cs.c), "cp": tol(pcom.cp.c),
+        "ts": tol(pcom.ts), "tp": tol(pcom.tp), "u": tol(pcom.u),
+        "zs": tol(resp.zs), "zp": tol(resp.zp),
+    }
+
+
+def test_self_vector_linear_replays_exactly():
+    results = testvectors.check_vector(_self_vector_linear())
+    assert all(results.values()), results
+
+
+def test_self_vector_sum_replays_exactly():
+    results = testvectors.check_vector(_self_vector_sum())
+    assert all(results.values()), results
+
+
+def test_self_vector_linear_detects_corruption():
+    vec = _self_vector_linear()
+    vec["u"][0][0] += 1
+    results = testvectors.check_vector(vec)
+    assert not results["u"]
+
+
 @pytest.mark.parametrize(
     "path",
     sorted(glob.glob(os.path.join(VEC_DIR, "*.json"))) or [None],
@@ -71,5 +144,5 @@ def test_rust_vectors(path):
     if path is None:
         pytest.skip("no Rust-generated vectors present (see docs/INTEROP.md)")
     for vec in testvectors.load_vectors(path):
-        results = testvectors.check_rust_vector(vec)
+        results = testvectors.check_vector(vec)
         assert all(results.values()), (path, results)
