@@ -20,8 +20,27 @@ utils/testvectors.py for the golden-vector interchange format instead.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def _use_pallas_select() -> bool:
+    """Route challenge support selection through the fused Pallas kernel.
+
+    Default: on for TPU backends (replaces the full per-row sort that
+    `lax.top_k` lowers to with an in-VMEM binary search; bit-identical
+    output, validated in tests/test_pallas.py), off on CPU (the kernel
+    would run interpreted). Override with RINGZK_PALLAS_CHALLENGE=1/0.
+    """
+    flag = os.environ.get("RINGZK_PALLAS_CHALLENGE")
+    if flag is not None:
+        return flag == "1"
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except RuntimeError:
+        return False
 
 
 def uniform_centered(key, shape, n: int, bound: int):
@@ -73,14 +92,24 @@ def challenge(key, shape, n: int, kappa: int):
     # including key-collision ties, via one lexicographic compare.
     u = jax.random.bits(kperm, shape + (n,), dtype=jnp.uint32)
     if kappa == n:
-        mask = jnp.ones(shape + (n,), bool)
-    else:
-        topv, topi = jax.lax.top_k(u, kappa)
-        thr_v = topv[..., -1:]
-        thr_i = topi[..., -1:]
-        lane = jax.lax.broadcasted_iota(jnp.int32, shape + (n,), len(shape))
-        mask = (u > thr_v) | ((u == thr_v) & (lane <= thr_i))
-    return jnp.where(mask, signs, jnp.zeros((), jnp.int32))
+        return signs
+    if n >= 128 and n % 128 == 0 and _use_pallas_select():
+        from .pallas.challenge_kernel import challenge_select_pallas
+
+        return challenge_select_pallas(u, signs, kappa)
+    return jnp.where(_mask_topk(u, kappa), signs, jnp.zeros((), jnp.int32))
+
+
+def _mask_topk(u, kappa: int):
+    """Top-kappa lane mask of iid uint32 keys via stable `lax.top_k`
+    (XLA path; ties at the threshold value break by ascending lane). The
+    Pallas kernel (ops/pallas/challenge_kernel.py) reproduces this mask
+    bit-exactly without the sort."""
+    topv, topi = jax.lax.top_k(u, kappa)
+    thr_v = topv[..., -1:]
+    thr_i = topi[..., -1:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, u.shape, u.ndim - 1)
+    return (u > thr_v) | ((u == thr_v) & (lane <= thr_i))
 
 
 def challenge_difference(key, shape, n: int, kappa: int):
