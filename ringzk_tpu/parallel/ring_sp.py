@@ -135,13 +135,19 @@ class SpRing(RingContext):
 
     @functools.cached_property
     def _w_tables(self):
-        """(w_fwd, w_inv) jnp table tuples per prime ([2, log2 N, N] each)."""
-        fwd, inv = [], []
-        for i in range(NUM_PRIMES):
-            _, _, _, w_f, w_i = self._tables[i]
-            fwd.append(jnp.asarray(w_f))
-            inv.append(jnp.asarray(w_i))
-        return tuple(fwd), tuple(inv)
+        """(w_fwd, w_inv) jnp table tuples per prime ([2, log2 N, N] each).
+
+        Materialized under ensure_compile_time_eval: the first touch may
+        happen while tracing a user's jit, and a cached_property must never
+        memoize a tracer (a second jit over the same SpRing would then see
+        a leaked tracer -- UnexpectedTracerError)."""
+        with jax.ensure_compile_time_eval():
+            fwd, inv = [], []
+            for i in range(NUM_PRIMES):
+                _, _, _, w_f, w_i = self._tables[i]
+                fwd.append(jnp.asarray(w_f))
+                inv.append(jnp.asarray(w_i))
+            return tuple(fwd), tuple(inv)
 
     def fwd(self, x, num: int = NUM_PRIMES):
         x = jnp.asarray(x, jnp.int32)

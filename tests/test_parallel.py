@@ -174,7 +174,10 @@ def mesh_dpsp():
 
 
 def test_spring_polymul_matches_plain(mesh_sp, rng):
-    """SpRing (the protocol-layer sp ring) fwd/inv == plain RingContext."""
+    """SpRing (the protocol-layer sp ring) fwd/inv == plain RingContext.
+
+    Jitted: eager SpRing ops dispatch one sharded program per primitive
+    (minutes of wall-clock); one traced program is the usage mode anyway."""
     from ringzk_tpu.parallel.ring_sp import SpRing
 
     n_sp = 1024
@@ -183,7 +186,8 @@ def test_spring_polymul_matches_plain(mesh_sp, rng):
     a = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(4, n_sp)), jnp.int32)
     b = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(4, n_sp)), jnp.int32)
     np.testing.assert_array_equal(
-        np.asarray(ring.polymul(a, b)), np.asarray(plain.polymul(a, b))
+        np.asarray(jax.jit(ring.polymul)(a, b)),
+        np.asarray(jax.jit(plain.polymul)(a, b)),
     )
 
 
@@ -226,25 +230,43 @@ def test_sp_linear_and_sum_roundtrips(mesh_dpsp):
 
 def test_sp_open_forged_rejected(mesh_dpsp):
     """Negative path under sp sharding: the sp-aware verifier still
-    rejects -- run the phases with the override installed and forge z."""
+    rejects -- run the phases with the override installed and forge z.
+
+    Two jitted programs (honest phases, then re-verify of a tampered z):
+    eager per-op sharded dispatch took ~15 min of wall-clock; and the ck's
+    MXU digit operators are stripped like protocol_sp does, so the sp NTT
+    matvec path (not the digit matmul) is what verifies/rejects here."""
     from ringzk_tpu.ops import ntt as ntt_mod
+    from ringzk_tpu.parallel import protocol_sp
     from ringzk_tpu.parallel.ring_sp import SpRing
     from ringzk_tpu.protocols import open as open_mod
 
     n_sp = 64
     ring = SpRing(n=n_sp, q=Q, mesh=mesh_dpsp, axis="sp", batch_axis="dp")
     kk, kx, kp, kc = jax.random.split(jax.random.PRNGKey(22), 4)
-    ck = rz.keygen(kk, PARAMS, n_sp)
+    ck = protocol_sp._lane_sharded_ck(mesh_dpsp, rz.keygen(kk, PARAMS, n_sp), "sp")
     x = jax.random.randint(
         kx, (8, PARAMS.l, n_sp), -PARAMS.q, PARAMS.q + 1, jnp.int32
     )
-    with ntt_mod.ring_override(ring):
-        rctx, pcom = open_mod.prover_commit(kp, ck, x, PARAMS)
-        vctx, chal = open_mod.generate_challenge(kc, pcom, PARAMS)
-        resp = open_mod.create_response(rctx, chal, PARAMS)
-        assert bool(jnp.all(open_mod.verify(ck, resp, vctx, PARAMS)))
-        forged = resp._replace(z=resp.z.at[..., 0, 0].add(1))
-        assert not bool(jnp.any(open_mod.verify(ck, forged, vctx, PARAMS)))
+
+    @jax.jit
+    def honest(kp, kc, x):
+        with ntt_mod.ring_override(ring):
+            rctx, pcom = open_mod.prover_commit(kp, ck, x, PARAMS)
+            vctx, chal = open_mod.generate_challenge(kc, pcom, PARAMS)
+            resp = open_mod.create_response(rctx, chal, PARAMS)
+            ok = open_mod.verify(ck, resp, vctx, PARAMS)
+        return ok, resp.z, vctx
+
+    @jax.jit
+    def reverify(z, vctx):
+        with ntt_mod.ring_override(ring):
+            return open_mod.verify(ck, open_mod.OpenProofResponse(z=z), vctx,
+                                   PARAMS)
+
+    ok, z, vctx = honest(kp, kc, x)
+    assert bool(jnp.all(ok))
+    assert not bool(jnp.any(reverify(z.at[..., 0, 0].add(1), vctx)))
 
 
 # -- tp: CRT prime axis sharded ----------------------------------------------
