@@ -64,8 +64,12 @@ def _polymul_tp_fn(
     def _branch(i):
         ctx = ring.mont[i]
         _, _, n_inv_scale, w_fwd, w_inv = ring._tables[i]
-        wf = jnp.asarray(w_fwd)
-        wi = jnp.asarray(w_inv)
+        # concretize even if this builder is first reached while tracing a
+        # user's jit: the lru_cached closure must never capture a tracer
+        # (same failure mode as the SpRing._w_tables leak)
+        with jax.ensure_compile_time_eval():
+            wf = jnp.asarray(w_fwd)
+            wi = jnp.asarray(w_inv)
 
         def br(operands):
             a, b = operands

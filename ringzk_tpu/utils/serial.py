@@ -156,7 +156,10 @@ def decode_rows(buf: bytes, shape) -> np.ndarray:
         if n == 0:
             raise ValueError("corrupt wire payload")
         return data.reshape(shape)
-    data, _ = _decode_rows_numpy(memoryview(buf), n_rows, row_len)
+    try:
+        data, _ = _decode_rows_numpy(memoryview(buf), n_rows, row_len)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt wire payload: {e}") from e
     return data.reshape(shape)
 
 
@@ -208,9 +211,21 @@ def dumps(tree: Any, compact: bool = True) -> bytes:
 
 def loads(buf: bytes) -> dict:
     """Deserialize to a {path: np.ndarray} dict (structure-agnostic; use
-    restore() helpers or NamedTuple(**...) to rebuild typed objects)."""
+    restore() helpers or NamedTuple(**...) to rebuild typed objects).
+
+    Raises ValueError on any malformed input (bad magic/version, truncated
+    header or payload, corrupt varint stream) -- failure detection is a
+    clean exception, never silent garbage or a leaked struct/index error.
+    """
     if buf[:4] != _MAGIC:
         raise ValueError("bad magic")
+    try:
+        return _loads_body(buf)
+    except (struct.error, IndexError, UnicodeDecodeError) as e:
+        raise ValueError(f"truncated or corrupt RZK1 container: {e}") from e
+
+
+def _loads_body(buf: bytes) -> dict:
     version, n = struct.unpack_from("<HI", buf, 4)
     if version != _VERSION:
         raise ValueError(f"unsupported version {version}")
@@ -227,12 +242,16 @@ def loads(buf: bytes) -> dict:
             pos += 8
             out[path] = None
             continue
+        if code not in _DTYPES:
+            raise ValueError(f"unknown dtype code {code} at {path}")
         shape = tuple(
             struct.unpack_from("<I", buf, pos + 4 * i)[0] for i in range(ndim)
         )
         pos += 4 * ndim
         (plen8,) = struct.unpack_from("<Q", buf, pos)
         pos += 8
+        if pos + plen8 > len(buf):
+            raise ValueError(f"payload of {path} extends past the buffer")
         payload = buf[pos : pos + plen8]
         pos += plen8
         if enc == TRIMMED_VARINT:

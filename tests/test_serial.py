@@ -258,3 +258,19 @@ def test_native_mt_encode_matches_single_thread(rng):
     enc = serial.encode_rows(a)
     assert enc == bytes(bytearray(out_st)[:n_st])
     np.testing.assert_array_equal(serial.decode_rows(enc, a.shape), a)
+
+
+def test_truncated_input_rejected(rng):
+    """Every truncation point of a valid container must raise ValueError
+    (failure detection: clean exception, never a leaked struct/index error
+    or silent garbage)."""
+    from ringzk_tpu.protocols.open import OpenProofResponse
+
+    full = serial.dumps(OpenProofResponse(
+        z=np.asarray(rng.integers(-5, 6, size=(2, 3, 8)), np.int32)))
+    for cut in sorted({5, 9, 11, len(full) // 2, len(full) - 1}):
+        with pytest.raises(ValueError):
+            serial.loads(full[:cut])
+    # oversized payload length field must not read past the buffer
+    with pytest.raises(ValueError):
+        serial.loads(full[:-4])
