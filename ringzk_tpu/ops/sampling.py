@@ -29,16 +29,21 @@ import jax.numpy as jnp
 def _use_pallas_select() -> bool:
     """Route challenge support selection through the fused Pallas kernel.
 
-    Default: on for TPU backends (replaces the full per-row sort that
-    `lax.top_k` lowers to with an in-VMEM binary search; bit-identical
-    output, validated in tests/test_pallas.py), off on CPU (the kernel
-    would run interpreted). Override with RINGZK_PALLAS_CHALLENGE=1/0.
+    Default: on for single-device TPU backends (replaces the full per-row
+    sort that `lax.top_k` lowers to with an in-VMEM binary search;
+    bit-identical output, validated in tests/test_pallas.py), off on CPU
+    (the kernel would run interpreted) and off when more than one device is
+    visible: inside the dp/sp-sharded jitted step a bare pallas_call's
+    partitioning under GSPMD is unvalidated on real multi-chip hardware
+    (docs/ROADMAP.md), while top_k is guaranteed partitionable. Override
+    either way with RINGZK_PALLAS_CHALLENGE=1/0.
     """
     flag = os.environ.get("RINGZK_PALLAS_CHALLENGE")
     if flag is not None:
         return flag == "1"
     try:
-        return jax.devices()[0].platform not in ("cpu",)
+        devs = jax.devices()
+        return devs[0].platform not in ("cpu",) and len(devs) == 1
     except RuntimeError:
         return False
 

@@ -209,23 +209,27 @@ def dumps(tree: Any, compact: bool = True) -> bytes:
     return bytes(out)
 
 
-def loads(buf: bytes) -> dict:
+def loads(buf: bytes, max_array_bytes: int = 2**33) -> dict:
     """Deserialize to a {path: np.ndarray} dict (structure-agnostic; use
     restore() helpers or NamedTuple(**...) to rebuild typed objects).
 
     Raises ValueError on any malformed input (bad magic/version, truncated
-    header or payload, corrupt varint stream) -- failure detection is a
-    clean exception, never silent garbage or a leaked struct/index error.
+    header or payload, corrupt varint stream, inconsistent dtype/encoding
+    pair, or a declared array larger than ``max_array_bytes``) -- failure
+    detection is a clean exception, never silent garbage, a leaked
+    struct/index error, or an attacker-sized allocation. ``max_array_bytes``
+    (default 8 GiB, far above the 64K-proof interchange payloads) bounds the
+    decoded size a hostile shape header can demand.
     """
     if buf[:4] != _MAGIC:
         raise ValueError("bad magic")
     try:
-        return _loads_body(buf)
+        return _loads_body(buf, max_array_bytes)
     except (struct.error, IndexError, UnicodeDecodeError) as e:
         raise ValueError(f"truncated or corrupt RZK1 container: {e}") from e
 
 
-def _loads_body(buf: bytes) -> dict:
+def _loads_body(buf: bytes, max_array_bytes: int) -> dict:
     version, n = struct.unpack_from("<HI", buf, 4)
     if version != _VERSION:
         raise ValueError(f"unsupported version {version}")
@@ -244,6 +248,10 @@ def _loads_body(buf: bytes) -> dict:
             continue
         if code not in _DTYPES:
             raise ValueError(f"unknown dtype code {code} at {path}")
+        if enc not in (RAW, TRIMMED_VARINT):
+            raise ValueError(f"unknown encoding {enc} at {path}")
+        if enc == TRIMMED_VARINT and code != 0:
+            raise ValueError(f"varint encoding requires int32 at {path}")
         shape = tuple(
             struct.unpack_from("<I", buf, pos + 4 * i)[0] for i in range(ndim)
         )
@@ -252,6 +260,16 @@ def _loads_body(buf: bytes) -> dict:
         pos += 8
         if pos + plen8 > len(buf):
             raise ValueError(f"payload of {path} extends past the buffer")
+        nbytes = int(np.prod(shape, dtype=object)) * np.dtype(_DTYPES[code]).itemsize
+        if nbytes > max_array_bytes:
+            raise ValueError(
+                f"declared array at {path} is {nbytes} bytes "
+                f"(> max_array_bytes={max_array_bytes})"
+            )
+        if enc == TRIMMED_VARINT and shape:
+            n_rows = int(np.prod(shape[:-1], dtype=object)) if len(shape) > 1 else 1
+            if n_rows * 4 > plen8:
+                raise ValueError(f"row count of {path} exceeds its payload")
         payload = buf[pos : pos + plen8]
         pos += plen8
         if enc == TRIMMED_VARINT:

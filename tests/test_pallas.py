@@ -10,7 +10,25 @@ import jax.numpy as jnp
 from ringzk_tpu.ops import ntt
 from ringzk_tpu.ops.pallas import ntt_kernel
 
+import contextlib
+import os
+
 Q = 3_515_337_053
+
+
+@contextlib.contextmanager
+def _env(var, value):
+    """Set an env var for the block, restoring any pre-existing value
+    (a bare ``del`` would clobber a runner-pinned RINGZK_* setting)."""
+    prev = os.environ.get(var)
+    os.environ[var] = value
+    try:
+        yield
+    finally:
+        if prev is None:
+            del os.environ[var]
+        else:
+            os.environ[var] = prev
 
 
 @pytest.mark.parametrize("n", [128, 512])
@@ -63,11 +81,8 @@ def test_pallas_fused_fwd_matches_xla(rng, n, num):
     import os
     ring = ntt.get_ring(n, Q)
     x = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(5, n)), jnp.int32)
-    os.environ["RINGZK_PALLAS"] = "0"
-    try:
+    with _env("RINGZK_PALLAS", "0"):
         want = np.asarray(ring.fwd(x, num))
-    finally:
-        del os.environ["RINGZK_PALLAS"]
     got = np.asarray(ntt_kernel.fwd_all_pallas(ring, x, num, interpret=True))
     np.testing.assert_array_equal(got, want)
 
@@ -81,15 +96,12 @@ def test_pallas_fused_inv_matches_xla(rng, n, num):
     ring = ntt.get_ring(n, Q)
     a = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(4, n)), jnp.int32)
     b = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(4, n)), jnp.int32)
-    os.environ["RINGZK_PALLAS"] = "0"
-    try:
+    with _env("RINGZK_PALLAS", "0"):
         if num == 3:
             xh = ring.dot_hat(ring.fwd_const(a), ring.fwd(b))
         else:
             xh = ring.fwd(jnp.asarray(a % 7, jnp.int32), num)
         want = np.asarray(ring.inv(xh))
-    finally:
-        del os.environ["RINGZK_PALLAS"]
     got = np.asarray(ntt_kernel.inv_all_pallas(ring, xh, interpret=True))
     np.testing.assert_array_equal(got, want)
 
@@ -99,11 +111,8 @@ def test_pallas_fused_nondivisible_batch(rng):
     n = 128
     ring = ntt.get_ring(n, Q)
     x = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(3, 7, n)), jnp.int32)
-    os.environ["RINGZK_PALLAS"] = "0"
-    try:
+    with _env("RINGZK_PALLAS", "0"):
         want = np.asarray(ring.fwd(x))
-    finally:
-        del os.environ["RINGZK_PALLAS"]
     got = np.asarray(ntt_kernel.fwd_all_pallas(ring, x, ntt.NUM_PRIMES, interpret=True))
     np.testing.assert_array_equal(got, want)
 
@@ -124,14 +133,11 @@ def test_pallas_scalar_mul_add_matches_composed(rng, n, rows, num):
         rng.integers(-1 if num < 3 else -(Q // 2), (1 if num < 3 else Q // 2) + 1,
                      size=(5, rows, n)), jnp.int32)
     t = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(5, rows, n)), jnp.int32)
-    os.environ["RINGZK_PALLAS"] = "0"
-    try:
+    with _env("RINGZK_PALLAS", "0"):
         dm = ring.inv(ring.dot_hat(ring.fwd_const(d, num)[..., None, :],
                                    ring.fwd(m, num)))
         want = np.asarray(zq.add_centered(ring.qctx, t, dm))
         via_method = np.asarray(ring.scalar_mul_add(d, m, t, num))
-    finally:
-        del os.environ["RINGZK_PALLAS"]
     np.testing.assert_array_equal(via_method, want)
     got = np.asarray(ntt_kernel.scalar_mul_add_pallas(ring, d, m, t, num,
                                                       interpret=True))
@@ -191,11 +197,8 @@ def test_pallas_challenge_select_full_sampler(rng):
     from ringzk_tpu.ops import sampling
 
     key = jax.random.PRNGKey(7)
-    os.environ["RINGZK_PALLAS_CHALLENGE"] = "0"
-    try:
+    with _env("RINGZK_PALLAS_CHALLENGE", "0"):
         want = np.asarray(sampling.challenge(key, (3, 5), 512, 36))
-    finally:
-        del os.environ["RINGZK_PALLAS_CHALLENGE"]
     # interpret path via the kernel directly (CPU has no Mosaic): recompute
     # the sampler's internals with the same key split
     ksign, kperm = jax.random.split(key)

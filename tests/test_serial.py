@@ -274,3 +274,47 @@ def test_truncated_input_rejected(rng):
     # oversized payload length field must not read past the buffer
     with pytest.raises(ValueError):
         serial.loads(full[:-4])
+
+
+def test_hostile_shape_and_encoding_rejected(rng):
+    """A corrupt header must not trigger attacker-sized allocations or a
+    silently wrong dtype: oversized declared shapes, varint encoding paired
+    with a non-int32 dtype code, and unknown encodings all raise."""
+    import struct
+
+    from ringzk_tpu.protocols.open import OpenProofResponse
+
+    z = np.asarray(rng.integers(-5, 6, size=(2, 3, 8)), np.int32)
+    full = bytearray(serial.dumps(OpenProofResponse(z=z)))
+    # entry layout after the 10-byte container header:
+    #   u16 path_len | path | u8 code | u8 enc | u8 ndim | u32 dims[ndim]...
+    plen = struct.unpack_from("<H", full, 10)[0]
+    meta = 12 + plen                      # offset of (code, enc, ndim)
+    dims = meta + 3
+    assert full[meta + 2] == 3            # ndim
+
+    bomb = bytearray(full)
+    struct.pack_into("<III", bomb, dims, 2**31, 2**31, 2**31)
+    with pytest.raises(ValueError, match="max_array_bytes|payload"):
+        serial.loads(bytes(bomb))
+
+    wrong_dtype = bytearray(full)
+    wrong_dtype[meta] = 1                 # uint32 + varint encoding
+    with pytest.raises(ValueError, match="varint encoding requires int32"):
+        serial.loads(bytes(wrong_dtype))
+
+    bad_enc = bytearray(full)
+    bad_enc[meta + 1] = 7
+    with pytest.raises(ValueError, match="unknown encoding"):
+        serial.loads(bytes(bad_enc))
+
+    # row-count-vs-payload guard: shape claiming more rows than the payload
+    # could possibly prefix (4 bytes per row) must raise, not allocate
+    many_rows = bytearray(full)
+    struct.pack_into("<III", many_rows, dims, 2**20, 2**10, 8)
+    with pytest.raises(ValueError, match="row count|max_array_bytes"):
+        serial.loads(bytes(many_rows))
+
+    # the untampered container still round-trips
+    back = serial.rebuild(OpenProofResponse, serial.loads(bytes(full)))
+    np.testing.assert_array_equal(np.asarray(back.z), z)
