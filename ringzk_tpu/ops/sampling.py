@@ -37,6 +37,14 @@ def _use_pallas_select() -> bool:
     partitioning under GSPMD is unvalidated on real multi-chip hardware
     (docs/ROADMAP.md), while top_k is guaranteed partitionable. Override
     either way with RINGZK_PALLAS_CHALLENGE=1/0.
+
+    NOTE: evaluated at *trace* time -- a jit-cached caller keeps whichever
+    routing was active when it first traced; changing the flag or the
+    visible device set later does not re-route already-compiled programs
+    (start a fresh process / function to re-trace). The gate keys off the
+    global ``jax.devices()`` list, not the mesh a given computation runs
+    on; per-mesh control, if ever needed, means plumbing an explicit flag
+    to the call sites.
     """
     flag = os.environ.get("RINGZK_PALLAS_CHALLENGE")
     if flag is not None:
@@ -87,15 +95,7 @@ def challenge(key, shape, n: int, kappa: int):
     # +-1) -- its own integration tests run N=16 with kappa=36
     # (/root/reference/tests/test.rs:8). Replicate that semantics.
     kappa = min(kappa, n)
-    ksign, kperm = jax.random.split(key)
-    signs = jax.random.rademacher(ksign, shape + (n,), dtype=jnp.int32)
-    # The support is a uniform kappa-subset of lanes: take the top-kappa of
-    # iid uint32 keys under the stable order (key desc, lane asc) -- the
-    # same distribution as permuting by key order (Fisher-Yates analog),
-    # but top_k of kappa << N beats a full sort. The threshold pair
-    # (kappa-th value, its lane) reconstructs the selected set exactly,
-    # including key-collision ties, via one lexicographic compare.
-    u = jax.random.bits(kperm, shape + (n,), dtype=jnp.uint32)
+    signs, u = challenge_draws(key, shape, n)
     if kappa == n:
         return signs
     if n >= 128 and n % 128 == 0 and _use_pallas_select():
@@ -103,6 +103,27 @@ def challenge(key, shape, n: int, kappa: int):
 
         return challenge_select_pallas(u, signs, kappa)
     return jnp.where(_mask_topk(u, kappa), signs, jnp.zeros((), jnp.int32))
+
+
+def challenge_draws(key, shape, n: int):
+    """The challenge sampler's raw PRNG draws: (signs, selection keys).
+
+    signs: iid +-1 int32 ``shape + (n,)``; u: iid uint32 selection keys of
+    the same shape. The support is a uniform kappa-subset of lanes: the
+    top-kappa of ``u`` under the stable order (key desc, lane asc) -- the
+    same distribution as permuting by key order (Fisher-Yates analog), but
+    top_k of kappa << N beats a full sort, and the threshold pair
+    (kappa-th value, its lane) reconstructs the selected set exactly,
+    including key-collision ties, via one lexicographic compare.
+
+    Single source of truth for the key-split order and draw dtypes, shared
+    by :func:`challenge` and the Pallas end-to-end tests -- a refactor here
+    changes both sides together.
+    """
+    ksign, kperm = jax.random.split(key)
+    signs = jax.random.rademacher(ksign, shape + (n,), dtype=jnp.int32)
+    u = jax.random.bits(kperm, shape + (n,), dtype=jnp.uint32)
+    return signs, u
 
 
 def _mask_topk(u, kappa: int):

@@ -180,8 +180,15 @@ class SpRing(RingContext):
         m = jnp.asarray(m, jnp.int32)
         t = jnp.asarray(t, jnp.int32)
         nbatch = d.ndim - 1
-        assert m.shape[:nbatch] == d.shape[:-1], (d.shape, m.shape)
-        assert t.shape == m.shape, (t.shape, m.shape)
+        if m.shape[:nbatch] != d.shape[:-1]:
+            raise ValueError(
+                f"scalar_mul_add: d batch {d.shape[:-1]} does not prefix "
+                f"m shape {m.shape}"
+            )
+        if t.shape != m.shape:
+            raise ValueError(
+                f"scalar_mul_add: t shape {t.shape} != m shape {m.shape}"
+            )
         struct = m.shape[nbatch:-1]
         mf = m.reshape(d.shape[:-1] + (-1, m.shape[-1]))
         tf = t.reshape(mf.shape)

@@ -209,17 +209,22 @@ def dumps(tree: Any, compact: bool = True) -> bytes:
     return bytes(out)
 
 
-def loads(buf: bytes, max_array_bytes: int = 2**33) -> dict:
+def loads(buf: bytes, max_array_bytes: int = 2**31) -> dict:
     """Deserialize to a {path: np.ndarray} dict (structure-agnostic; use
     restore() helpers or NamedTuple(**...) to rebuild typed objects).
 
     Raises ValueError on any malformed input (bad magic/version, truncated
     header or payload, corrupt varint stream, inconsistent dtype/encoding
-    pair, or a declared array larger than ``max_array_bytes``) -- failure
-    detection is a clean exception, never silent garbage, a leaked
-    struct/index error, or an attacker-sized allocation. ``max_array_bytes``
-    (default 8 GiB, far above the 64K-proof interchange payloads) bounds the
-    decoded size a hostile shape header can demand.
+    pair, RAW payload length not matching its declared shape, or a declared
+    array larger than ``max_array_bytes``) -- failure detection is a clean
+    exception, never silent garbage, a leaked struct/index error, or an
+    attacker-sized allocation. ``max_array_bytes`` (default 2 GiB, ~5x the
+    64K-proof interchange payloads) bounds the decoded size a hostile shape
+    header can demand *before* any allocation happens; callers moving
+    larger checkpoints pass a higher limit explicitly. Note a varint entry's
+    payload can be legitimately much smaller than its decoded array (all-
+    zero rows trim to 4 bytes each), so the allocation bound is the shape
+    header, not the payload length.
     """
     if buf[:4] != _MAGIC:
         raise ValueError("bad magic")
@@ -270,6 +275,10 @@ def _loads_body(buf: bytes, max_array_bytes: int) -> dict:
             n_rows = int(np.prod(shape[:-1], dtype=object)) if len(shape) > 1 else 1
             if n_rows * 4 > plen8:
                 raise ValueError(f"row count of {path} exceeds its payload")
+        if enc == RAW and plen8 != nbytes:
+            raise ValueError(
+                f"RAW payload of {path} is {plen8} bytes, expected {nbytes}"
+            )
         payload = buf[pos : pos + plen8]
         pos += plen8
         if enc == TRIMMED_VARINT:

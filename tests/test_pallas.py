@@ -199,11 +199,9 @@ def test_pallas_challenge_select_full_sampler(rng):
     key = jax.random.PRNGKey(7)
     with _env("RINGZK_PALLAS_CHALLENGE", "0"):
         want = np.asarray(sampling.challenge(key, (3, 5), 512, 36))
-    # interpret path via the kernel directly (CPU has no Mosaic): recompute
-    # the sampler's internals with the same key split
-    ksign, kperm = jax.random.split(key)
-    signs = jax.random.rademacher(ksign, (3, 5, 512), dtype=jnp.int32)
-    u = jax.random.bits(kperm, (3, 5, 512), dtype=jnp.uint32)
+    # interpret path via the kernel directly (CPU has no Mosaic), fed by the
+    # sampler's own draw helper so the two sides cannot silently diverge
+    signs, u = sampling.challenge_draws(key, (3, 5), 512)
     from ringzk_tpu.ops.pallas import challenge_kernel
 
     got = np.asarray(

@@ -142,9 +142,9 @@ def test_reference_buggy_split_breaks_for_n_ne_l():
     assert c1_correct.shape == (2, params.n, N)
     assert c1_buggy.shape == (2, params.l, N)
     assert c1_correct.shape != c1_buggy.shape
+    # A verifier fed the buggy split must fail loudly: the (l, N) "c1" can
+    # never satisfy the (n, N) shape of t in `t + c1*d` (shapes always
+    # differ for n != l, so there is no broadcast path to a silent accept).
     bad_vctx = vctx._replace(c1=c1_buggy)
-    with pytest.raises(Exception):
-        res = open_mod.verify(ck, resp, bad_vctx, params)
-        # if broadcasting let it through, the verdict must still be reject
-        assert not bool(jnp.any(res))
-        raise AssertionError("buggy split accepted")
+    with pytest.raises(ValueError, match="scalar_mul_add"):
+        open_mod.verify(ck, resp, bad_vctx, params)
