@@ -44,9 +44,21 @@ M_PROD = PRIMES[0] * PRIMES[1] * PRIMES[2]
 def _use_pallas() -> bool:
     """Route NTT transforms through the fused Pallas kernel.
 
-    Default: on for TPU backends (1.8-1.9x over the XLA stage chain,
-    validated bit-exact in tests/test_pallas.py), off on CPU (the kernel
-    would run interpreted). Override with RINGZK_PALLAS=1/0.
+    Default: on for SINGLE-device TPU backends (1.8-1.9x over the XLA
+    stage chain, validated bit-exact in tests/test_pallas.py); off on CPU
+    (the kernel would run interpreted) and off when more than one device
+    is visible -- inside a dp/sp-sharded jitted step, GSPMD partitioning
+    of bare Mosaic custom calls is unvalidated on real multi-chip
+    hardware, while the XLA stage chain is guaranteed partitionable
+    (mirrors ops/sampling._use_pallas_select; docs/ROADMAP.md). Override
+    either way with RINGZK_PALLAS=1/0 -- =1 on a multi-device slice is
+    the hardware experiment, and =1 on the CPU test mesh runs the kernels
+    in interpret mode inside the sharded program (tests/test_parallel.py
+    proves that partitions and verifies).
+
+    NOTE: evaluated at *trace* time -- a jit-cached caller keeps whichever
+    routing was active when it first traced (see the same note on
+    sampling._use_pallas_select).
     """
     import os
 
@@ -56,9 +68,19 @@ def _use_pallas() -> bool:
     import jax
 
     try:
-        return jax.devices()[0].platform not in ("cpu",)
+        devs = jax.devices()
+        return devs[0].platform not in ("cpu",) and len(devs) == 1
     except RuntimeError:
         return False
+
+
+def _pallas_interpret() -> bool:
+    """Interpret-mode flag for the Pallas call sites: real Mosaic on TPU,
+    interpreter elsewhere (CPU has no Mosaic backend; interpret mode keeps
+    RINGZK_PALLAS=1 testable on the virtual-device mesh)."""
+    import jax
+
+    return jax.default_backend() != "tpu"
 
 
 def _bit_reverse(i: int, bits: int) -> int:
@@ -264,7 +286,9 @@ class RingContext:
         if _use_pallas():
             from .pallas import ntt_kernel
 
-            return ntt_kernel.fwd_all_pallas(self, jnp.asarray(x, jnp.int32), num)
+            return ntt_kernel.fwd_all_pallas(
+                self, jnp.asarray(x, jnp.int32), num, interpret=_pallas_interpret()
+            )
         outs = []
         for i in range(num):
             ctx = self.mont[i]
@@ -308,7 +332,7 @@ class RingContext:
         if _use_pallas():
             from .pallas import ntt_kernel
 
-            return ntt_kernel.inv_all_pallas(self, xhat)
+            return ntt_kernel.inv_all_pallas(self, xhat, interpret=_pallas_interpret())
         ys = []
         for i in range(num):
             ctx = self.mont[i]
@@ -451,7 +475,7 @@ class RingContext:
                 if fused == "1"
                 else ntt_kernel.scalar_mul_add_pallas_v2
             )
-            out = fn(self, d, mf, tf, num)
+            out = fn(self, d, mf, tf, num, interpret=_pallas_interpret())
         else:
             d_hat = self.fwd_const(d, num)
             dm = self.inv(self.dot_hat(d_hat[..., None, :], self.fwd(mf, num)))

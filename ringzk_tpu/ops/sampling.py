@@ -101,7 +101,11 @@ def challenge(key, shape, n: int, kappa: int):
     if n >= 128 and n % 128 == 0 and _use_pallas_select():
         from .pallas.challenge_kernel import challenge_select_pallas
 
-        return challenge_select_pallas(u, signs, kappa)
+        # interpret mode off-TPU: keeps RINGZK_PALLAS_CHALLENGE=1 testable
+        # inside sharded programs on the virtual CPU mesh
+        return challenge_select_pallas(
+            u, signs, kappa, interpret=jax.default_backend() != "tpu"
+        )
     return jnp.where(_mask_topk(u, kappa), signs, jnp.zeros((), jnp.int32))
 
 

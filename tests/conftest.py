@@ -22,6 +22,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 assert "jax" not in sys.modules or True  # jax may be imported lazily below
 
+import contextlib  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -29,6 +31,21 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(20260817)
+
+
+@contextlib.contextmanager
+def env_override(var, value):
+    """Set an env var for the block, restoring any pre-existing value
+    (a bare ``del`` would clobber a runner-pinned RINGZK_* setting)."""
+    prev = os.environ.get(var)
+    os.environ[var] = value
+    try:
+        yield
+    finally:
+        if prev is None:
+            del os.environ[var]
+        else:
+            os.environ[var] = prev
 
 
 # persistent compilation cache: protocol programs are large, recompiling on

@@ -46,6 +46,43 @@ def test_dp_sharding_layout(mesh8):
     assert bool(all_ok)
 
 
+def test_dp_sharded_roundtrip_pallas_kernels(mesh8):
+    """The TPU headline path's Pallas kernels (fused NTT + challenge
+    select), forced on INSIDE the dp-sharded jitted step, must partition
+    under GSPMD and still verify. On this CPU mesh the kernels run in
+    interpret mode; what this proves ahead of hardware is that the sharded
+    program traces, partitions around the (interpreted) pallas_calls, and
+    produces correct verdicts -- the multi-chip safety gate itself
+    (_use_pallas auto-disables for >1 device) is what default runs get."""
+    from conftest import env_override
+
+    n_pl = 128  # >= 128 lanes so both kernels engage
+    with env_override("RINGZK_PALLAS", "1"), env_override(
+        "RINGZK_PALLAS_CHALLENGE", "1"
+    ):
+        kk, kx, kp = jax.random.split(jax.random.PRNGKey(30), 3)
+        ck = rz.keygen(kk, PARAMS, n_pl)
+        x = jax.random.randint(
+            kx, (16, PARAMS.l, n_pl), -PARAMS.q, PARAMS.q + 1, jnp.int32
+        )
+        ok, all_ok = pmesh.batched_open_prove_verify(mesh8, kp, ck, x, PARAMS)
+    assert ok.shape == (16,)
+    assert bool(jnp.all(ok)) and bool(all_ok)
+
+    # cross-engine determinism: the unsharded XLA-path roundtrip under the
+    # same key must produce the identical verdict vector (the kernels are
+    # bit-identical transforms; tests/test_pallas.py proves it per-kernel)
+    from ringzk_tpu.protocols import open as open_mod
+
+    with env_override("RINGZK_PALLAS", "0"), env_override(
+        "RINGZK_PALLAS_CHALLENGE", "0"
+    ):
+        ok_ref, op_ok_ref = jax.jit(
+            lambda k, xx: open_mod.roundtrip(k, ck, xx, PARAMS)
+        )(kp, x)
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_ref & op_ok_ref))
+
+
 def test_dp_sharded_linear_roundtrip(mesh8):
     kk, kg, kx, kp = jax.random.split(jax.random.PRNGKey(7), 4)
     ck = rz.keygen(kk, PARAMS, N)
