@@ -23,15 +23,25 @@ GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "transcripts.jso
 N = 16
 PARAMS = rz.Params()
 
+# Parameter sets with committed goldens: the default modulus plus both
+# edges of the genericity envelope (see tests/test_moduli.py for why these
+# two moduli). Keys are the JSON object names in transcripts.json; the
+# "default" digests predate the multi-modulus format and must never drift.
+GOLDEN_SETS = {
+    "default": PARAMS,
+    "q15_32749": rz.Params(q=32749 // 2, modulus=32749),
+    "q32_2p32m5": rz.Params(q=4294967291 // 2, modulus=4294967291),
+}
 
-def build_transcript():
+
+def build_transcript(params=PARAMS):
     kk, kx, kp, kc = jax.random.split(jax.random.PRNGKey(20260817), 4)
-    ck = rz.keygen(kk, PARAMS, N)
-    x = jax.random.randint(kx, (2, PARAMS.l, N), -PARAMS.q, PARAMS.q + 1, dtype=jnp.int32)
-    rctx, pcom = open_mod.prover_commit(kp, ck, x, PARAMS)
-    vctx, chal = open_mod.generate_challenge(kc, pcom, PARAMS)
-    resp = open_mod.create_response(rctx, chal, PARAMS)
-    ok = open_mod.verify(ck, resp, vctx, PARAMS)
+    ck = rz.keygen(kk, params, N)
+    x = jax.random.randint(kx, (2, params.l, N), -params.q, params.q + 1, dtype=jnp.int32)
+    rctx, pcom = open_mod.prover_commit(kp, ck, x, params)
+    vctx, chal = open_mod.generate_challenge(kc, pcom, params)
+    resp = open_mod.create_response(rctx, chal, params)
+    ok = open_mod.verify(ck, resp, vctx, params)
     assert bool(ok.all())
     return {
         "ck": transcript_digest({"a1": ck.a1, "a2": ck.a2}),
@@ -42,15 +52,17 @@ def build_transcript():
 
 
 @pytest.mark.skipif(not os.path.exists(GOLDEN_PATH), reason="golden not generated")
-def test_transcript_digests_stable():
+@pytest.mark.parametrize("name", sorted(GOLDEN_SETS))
+def test_transcript_digests_stable(name):
     with open(GOLDEN_PATH) as f:
-        want = json.load(f)
-    got = build_transcript()
-    assert got == want, f"transcript drift:\n got={got}\nwant={want}"
+        want = json.load(f)[name]
+    got = build_transcript(GOLDEN_SETS[name])
+    assert got == want, f"transcript drift ({name}):\n got={got}\nwant={want}"
 
 
 if __name__ == "__main__":
     os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
+    out = {name: build_transcript(p) for name, p in GOLDEN_SETS.items()}
     with open(GOLDEN_PATH, "w") as f:
-        json.dump(build_transcript(), f, indent=1)
+        json.dump(out, f, indent=1)
     print("wrote", GOLDEN_PATH)
