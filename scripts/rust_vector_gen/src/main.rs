@@ -7,6 +7,7 @@
 //! derives (Opening/Mat/Polynomial all Serialize), so no ring-zk fork is
 //! needed. Run on a cargo machine and drop the output into tests/vectors/.
 
+use poly_ring_xnp1::zq::ZqI64;
 use rand::{rngs::StdRng, SeedableRng};
 use ring_zk::{
     LinearProofProver, LinearProofVerifier, OpenProofProver, OpenProofVerifier,
@@ -14,15 +15,51 @@ use ring_zk::{
 };
 use serde_json::{json, Value};
 
+/// A serialized coefficient. ZqI64<Q> is expected to serialize
+/// transparently as its inner i64 (newtype structs do under serde_json);
+/// accept a single-field struct too in case it is a named-field struct --
+/// either way the value is the centered residue the reference stores
+/// (/root/reference/src/params.rs:121-127 sets q = Q/2, residues in
+/// [-Q/2, Q/2]).
+fn int_of(v: &Value) -> i64 {
+    if let Some(x) = v.as_i64() {
+        return x;
+    }
+    if let Some(obj) = v.as_object() {
+        if obj.len() == 1 {
+            if let Some(x) = obj.values().next().unwrap().as_i64() {
+                return x;
+            }
+        }
+    }
+    panic!("unexpected integer serde shape: {v}")
+}
+
+/// Coefficient list of a serialized Polynomial. poly-ring-xnp1 v0.3 is
+/// expected to emit a bare coefficient array with trailing zeros trimmed
+/// (the 36-byte bincode golden in /root/reference/src/mat.rs:425-438 --
+/// 8-byte vec length + 8 + 3*4 payload -- implies a plain length-prefixed
+/// Vec<I> with no struct framing); accept a single-field struct wrapper
+/// (e.g. {"coeffs": [...]}) too, so a different derive layout does not
+/// strand the one cargo machine that runs this generator.
+fn coeffs_of(v: &Value) -> Vec<i64> {
+    if let Some(arr) = v.as_array() {
+        return arr.iter().map(int_of).collect();
+    }
+    if let Some(obj) = v.as_object() {
+        if obj.len() == 1 {
+            if let Some(arr) = obj.values().next().unwrap().as_array() {
+                return arr.iter().map(int_of).collect();
+            }
+        }
+    }
+    panic!("unexpected Polynomial serde shape: {v}")
+}
+
 /// Pad a serialized Polynomial (coeff list, trailing zeros trimmed by
 /// poly-ring-xnp1's serde) to exactly n coefficients.
 fn pad_poly(v: &Value, n: usize) -> Value {
-    let mut c: Vec<i64> = v
-        .as_array()
-        .expect("polynomial must serialize as a coeff array")
-        .iter()
-        .map(|x| x.as_i64().expect("coeff must be an integer"))
-        .collect();
+    let mut c = coeffs_of(v);
     assert!(c.len() <= n, "more than N coefficients");
     c.resize(n, 0);
     json!(c)
@@ -75,8 +112,24 @@ fn pad_mat(v: &Value, n: usize) -> Value {
 }
 
 fn one_vector<const N: usize>(seed: u64, msg: Vec<Vec<i64>>) -> Value {
+    one_vector_with::<N>(seed, msg, Params::default(), true)
+}
+
+/// `run_verify = false` is for parameter sets the REFERENCE cannot verify:
+/// for n != l its buggy `c1_c2` split (/root/reference/src/commit.rs:213-218
+/// via split_off at /root/reference/src/mat.rs:206) hands the verifier an
+/// l-row "c1" where n rows are needed, and `Mat::add` panics
+/// (/root/reference/src/mat.rs:128-130). The prover-side transcript is
+/// still well-defined and recorded; ringzk_tpu's checker replays it with
+/// the corrected split (utils/testvectors.py) -- the divergence case where
+/// cross-validation matters most.
+fn one_vector_with<const N: usize>(
+    seed: u64,
+    msg: Vec<Vec<i64>>,
+    params: Params<ZqI64<3515337053_i64>>,
+    run_verify: bool,
+) -> Value {
     let rng = &mut StdRng::seed_from_u64(seed);
-    let params = Params::default();
 
     let ck = params.generate_commitment_key::<N>(rng);
     let ck_json = serde_json::to_value(&ck).unwrap();
@@ -99,7 +152,9 @@ fn one_vector<const N: usize>(seed: u64, msg: Vec<Vec<i64>>) -> Value {
     let chal_json = serde_json::to_value(&chal).unwrap();
     let response = prover.create_response(rctx, chal);
     let resp_json = serde_json::to_value(&response).unwrap();
-    assert!(verifier.verify(response, vctx), "reference rejected its own proof");
+    if run_verify {
+        assert!(verifier.verify(response, vctx), "reference rejected its own proof");
+    }
 
     // params.q serializes via the Params derive; read it back out
     let params_json = serde_json::to_value(&params).unwrap();
@@ -108,8 +163,8 @@ fn one_vector<const N: usize>(seed: u64, msg: Vec<Vec<i64>>) -> Value {
         "n": N,
         "seed": seed,
         "params": {
-            "q": params_json["q"],
-            "b": params_json["b"],
+            "q": int_of(&params_json["q"]),
+            "b": int_of(&params_json["b"]),
             "n": params_json["n"],
             "k": params_json["k"],
             "l": params_json["l"],
@@ -246,6 +301,22 @@ fn main() {
     for seed in 0..2u64 {
         vectors.push(linear_vector::<16>(100 + seed));
         vectors.push(sum_vector::<16>(200 + seed, 3));
+    }
+    // n != l: the reference's own verifier panics on these (buggy c1_c2
+    // split, see one_vector_with) -- record the prover transcript only;
+    // the Python checker validates the algebra with the corrected split.
+    let nl_params = Params {
+        n: 2,
+        k: 5,
+        ..Params::default()
+    };
+    for seed in 0..2u64 {
+        vectors.push(one_vector_with::<16>(
+            300 + seed,
+            vec![vec![1, 2, 3, 4]],
+            nl_params.clone(),
+            false,
+        ));
     }
     println!("{}", serde_json::to_string_pretty(&Value::Array(vectors)).unwrap());
 }

@@ -146,3 +146,57 @@ def test_rust_vectors(path):
     for vec in testvectors.load_vectors(path):
         results = testvectors.check_vector(vec)
         assert all(results.values()), (path, results)
+
+
+# -- schema lock against the Rust generator ----------------------------------
+
+MOCK_PATH = os.path.join(os.path.dirname(__file__), "golden", "mock_vectors.json")
+
+# Exactly the key sets scripts/rust_vector_gen/src/main.rs emits per
+# protocol (see its README's schema table). If the generator's schema
+# changes, regenerate the mock (scripts/make_mock_vectors.py) and update
+# these sets IN THE SAME COMMIT.
+SCHEMA_KEYS = {
+    "open": {"n", "seed", "params", "ck", "x", "r", "y", "d", "c", "t", "z"},
+    "linear": {"protocol", "n", "seed", "params", "ck", "g", "x", "r", "rp",
+               "y", "yp", "d", "c", "cp", "t", "tp", "u", "z", "zp"},
+    "sum": {"protocol", "n", "seed", "params", "ck", "gs", "xs", "rs", "rp",
+            "ys", "yp", "d", "cs", "cp", "ts", "tp", "u", "zs", "zp"},
+}
+PARAMS_KEYS = {"q", "b", "n", "k", "l", "kappa"}  # note: NO "modulus" on the wire
+
+
+def test_mock_vectors_lock_generator_schema():
+    """The committed mock file is in EXACTLY the Rust generator's schema
+    (keys, params without modulus, linear z/zp null, an n != l family) and
+    every checker replays it clean -- so a schema change on either side
+    fails CI here instead of stranding the one cargo machine that can run
+    the generator (VERDICT r2 weak #2)."""
+    vecs = testvectors.load_vectors(MOCK_PATH)
+    protocols_seen = set()
+    nl_seen = False
+    for vec in vecs:
+        proto = vec.get("protocol", "open")
+        protocols_seen.add(proto)
+        assert set(vec) == SCHEMA_KEYS[proto], (proto, set(vec))
+        assert set(vec["params"]) == PARAMS_KEYS
+        assert set(vec["ck"]) == {"a1", "a2"}
+        assert isinstance(vec["seed"], int)
+        if proto == "linear":
+            assert vec["z"] is None and vec["zp"] is None
+        if vec["params"]["n"] != vec["params"]["l"]:
+            nl_seen = True
+        results = testvectors.check_vector(vec)
+        assert all(results.values()), (proto, vec["seed"], results)
+    assert protocols_seen == {"open", "linear", "sum"}
+    assert nl_seen, "mock must include an n != l vector (divergence family)"
+
+
+def test_mock_vector_checker_detects_corruption():
+    """The schema-locked checkers must still be *checkers*: corrupting a
+    recorded output in the mock flips its result to False."""
+    vecs = testvectors.load_vectors(MOCK_PATH)
+    vec = next(v for v in vecs if v.get("protocol", "open") == "open")
+    vec["t"][0][0] += 1
+    results = testvectors.check_vector(vec)
+    assert not results["t"]
