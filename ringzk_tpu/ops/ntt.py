@@ -75,12 +75,13 @@ def _use_pallas() -> bool:
 
 
 def _pallas_interpret() -> bool:
-    """Interpret-mode flag for the Pallas call sites: real Mosaic on TPU,
-    interpreter elsewhere (CPU has no Mosaic backend; interpret mode keeps
-    RINGZK_PALLAS=1 testable on the virtual-device mesh)."""
+    """Interpret-mode flag for the Pallas call sites: real Mosaic on TPU
+    backends (incl. the tunneled "axon" backend, whose platform name is not
+    "tpu"), interpreter on CPU so RINGZK_PALLAS=1 stays testable on the
+    virtual-device mesh."""
     import jax
 
-    return jax.default_backend() != "tpu"
+    return jax.default_backend() == "cpu"
 
 
 def _bit_reverse(i: int, bits: int) -> int:

@@ -101,12 +101,21 @@ def challenge(key, shape, n: int, kappa: int):
     if n >= 128 and n % 128 == 0 and _use_pallas_select():
         from .pallas.challenge_kernel import challenge_select_pallas
 
-        # interpret mode off-TPU: keeps RINGZK_PALLAS_CHALLENGE=1 testable
-        # inside sharded programs on the virtual CPU mesh
+        # interpret mode on CPU only (the axon TPU tunnel's backend name is
+        # not "tpu"): keeps RINGZK_PALLAS_CHALLENGE=1 testable inside
+        # sharded programs on the virtual CPU mesh
         return challenge_select_pallas(
-            u, signs, kappa, interpret=jax.default_backend() != "tpu"
+            u, signs, kappa, interpret=jax.default_backend() == "cpu"
         )
     return jnp.where(_mask_topk(u, kappa), signs, jnp.zeros((), jnp.int32))
+
+
+def _use_signkey() -> bool:
+    """RINGZK_CHALLENGE_SIGNKEY=1 derives the challenge signs from the
+    selection keys' low bit (one PRNG draw instead of two; changes the
+    transcript stream -- goldens must be regenerated if this ever becomes
+    the default). Read at trace time, like every RINGZK_* engine flag."""
+    return os.environ.get("RINGZK_CHALLENGE_SIGNKEY", "0") == "1"
 
 
 def challenge_draws(key, shape, n: int):
@@ -120,10 +129,23 @@ def challenge_draws(key, shape, n: int):
     (kappa-th value, its lane) reconstructs the selected set exactly,
     including key-collision ties, via one lexicographic compare.
 
+    Default: two independent draws (a rademacher plane + a uint32 key
+    plane), matching the committed transcript goldens. With
+    RINGZK_CHALLENGE_SIGNKEY=1, ONE uint32 draw supplies both: bit 0 is
+    the sign (exactly fair, exactly independent of the other bits) and
+    bits 1..31 are the selection key. The selection-key width drops from
+    32 to 31 bits, doubling the already-negligible threshold-tie rate
+    (~C(N,2)/2^31 per row, ~6e-5 at N=512; ties resolve by the same
+    stable lane rule either way).
+
     Single source of truth for the key-split order and draw dtypes, shared
     by :func:`challenge` and the Pallas end-to-end tests -- a refactor here
     changes both sides together.
     """
+    if _use_signkey():
+        u_full = jax.random.bits(key, shape + (n,), dtype=jnp.uint32)
+        signs = 1 - 2 * (u_full & jnp.uint32(1)).astype(jnp.int32)
+        return signs, u_full >> jnp.uint32(1)
     ksign, kperm = jax.random.split(key)
     signs = jax.random.rademacher(ksign, shape + (n,), dtype=jnp.int32)
     u = jax.random.bits(kperm, shape + (n,), dtype=jnp.uint32)

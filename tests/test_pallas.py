@@ -208,3 +208,22 @@ def test_pallas_challenge_select_full_sampler(rng):
         challenge_kernel.challenge_select_pallas(u, signs, 36, interpret=True)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_challenge_select_signkey_mode():
+    """The kernel must agree with the XLA top_k path for the signkey draw
+    too (31-bit selection keys, signs from bit 0 -- more threshold ties)."""
+    import jax
+    from ringzk_tpu.ops import sampling
+    from ringzk_tpu.ops.pallas import challenge_kernel
+
+    key = jax.random.PRNGKey(9)
+    with _env("RINGZK_CHALLENGE_SIGNKEY", "1"):
+        with _env("RINGZK_PALLAS_CHALLENGE", "0"):
+            want = np.asarray(sampling.challenge(key, (4, 3), 512, 36))
+        signs, u = sampling.challenge_draws(key, (4, 3), 512)
+    got = np.asarray(
+        challenge_kernel.challenge_select_pallas(u, signs, 36, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+    assert (np.abs(got).sum(-1) == 36).all()

@@ -55,11 +55,10 @@ def test_seed_from_u64_splitmix():
     assert rng.key[0] | (rng.key[1] << 32) == 0xE220A8397B1DCDAF
 
 
-def test_uniform_helpers_in_range():
-    rng = tr.ChaChaRng(bytes(32))
-    vals = [rng.random_range_i64(-5, 5) for _ in range(200)]
-    assert all(-5 <= v <= 5 for v in vals)
-    assert len(set(vals)) == 11  # all values hit over 200 draws
-    items = list(range(10))
-    rng.shuffle(items)
-    assert sorted(items) == list(range(10))
+def test_fill_bytes_is_le_word_stream():
+    rng = tr.ChaChaRng(bytes(32), rounds=12)
+    ref = tr.ChaChaRng(bytes(32), rounds=12)
+    words = [ref.next_u32() for _ in range(3)]
+    got = rng.fill_bytes(10)
+    want = struct.pack("<3I", *words)[:10]
+    assert got == want
