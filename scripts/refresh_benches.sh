@@ -44,6 +44,13 @@ run "nscan_2048_nomxu" env RINGZK_MXU=0 python bench.py --n 2048
 run "nscan_4096"       python bench.py --n 4096 --batch 2048
 run "nscan_8192"       python bench.py --n 8192 --batch 1024 --iters 5
 
+# -- challenge-signs-from-selection-keys A/B (headline config) ----------------
+# Off-by-default transcript-changing variant (ROADMAP idea): one uint32 draw
+# supplies both signs and selection keys. Measured twice to bound run noise.
+run "signkey_on_a"  env RINGZK_CHALLENGE_SIGNKEY=1 python bench.py
+run "signkey_on_b"  env RINGZK_CHALLENGE_SIGNKEY=1 python bench.py
+run "signkey_off_a" python bench.py
+
 # -- single-proof latency decomposition (BASELINE config 1) -------------------
 run "latency" python scripts/latency_bench.py
 
