@@ -6,7 +6,7 @@ The reference is generic over the coefficient type and the const modulus Q
 (ZqI64<3515337053>). Here the modulus is a runtime Params field: any odd
 modulus < 2^32 with any power-of-two ring degree works, engine selection
 included -- small moduli keep the int8 MXU digit key path, moduli within
-~12M of 2^32 exceed the 4-digit capacity and transparently fall back to the
+~16.8M of 2^32 exceed the 4-digit capacity and transparently fall back to the
 exact CRT-NTT key path (protocols/commit.py keygen gate). Norm bounds,
 challenge structure, and all three sigma protocols are modulus-agnostic.
 

@@ -75,13 +75,12 @@ def _use_pallas() -> bool:
 
 
 def _pallas_interpret() -> bool:
-    """Interpret-mode flag for the Pallas call sites: real Mosaic on TPU
-    backends (incl. the tunneled "axon" backend, whose platform name is not
-    "tpu"), interpreter on CPU so RINGZK_PALLAS=1 stays testable on the
-    virtual-device mesh."""
-    import jax
+    """See ops/pallas.pallas_interpret -- the shared gate for every Pallas
+    call site (real Mosaic on TPU backends incl. the tunneled "axon" one,
+    interpreter on CPU)."""
+    from .pallas import pallas_interpret
 
-    return jax.default_backend() == "cpu"
+    return pallas_interpret()
 
 
 def _bit_reverse(i: int, bits: int) -> int:

@@ -99,13 +99,11 @@ def challenge(key, shape, n: int, kappa: int):
     if kappa == n:
         return signs
     if n >= 128 and n % 128 == 0 and _use_pallas_select():
+        from .pallas import pallas_interpret
         from .pallas.challenge_kernel import challenge_select_pallas
 
-        # interpret mode on CPU only (the axon TPU tunnel's backend name is
-        # not "tpu"): keeps RINGZK_PALLAS_CHALLENGE=1 testable inside
-        # sharded programs on the virtual CPU mesh
         return challenge_select_pallas(
-            u, signs, kappa, interpret=jax.default_backend() == "cpu"
+            u, signs, kappa, interpret=pallas_interpret()
         )
     return jnp.where(_mask_topk(u, kappa), signs, jnp.zeros((), jnp.int32))
 

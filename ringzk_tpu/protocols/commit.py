@@ -130,8 +130,9 @@ def keygen(key, params: Params, n_deg: int, batch_shape=()) -> CommitmentKey:
         and n_deg <= MXU_MAX_N
         and k * n_deg * (conv_mxu.RADIX // 2) ** 2 < 2**31
         # KEY_DIGITS balanced digits must cover the key residues (bounded
-        # by the sampling bound q). Moduli within ~12M of 2^32 exceed the
-        # 4-digit capacity 2,139,062,143 -> those keys take the NTT path
+        # by the sampling bound q). Moduli above 2*2,139,062,143+1 -- i.e.
+        # within ~16.8M of 2^32 -- exceed the 4-digit capacity
+        # 2,139,062,143 -> those keys take the NTT path
         # (a corrupt digit operator would be a *silent* wrong-answer bug).
         and params.q <= conv_mxu.digit_capacity(conv_mxu.KEY_DIGITS)
     ):

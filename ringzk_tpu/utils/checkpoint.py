@@ -26,17 +26,17 @@ def save(path: str, obj) -> None:
     os.replace(tmp, path)
 
 
-def load(path: str, cls, max_array_bytes: int = 2**40):
+def load(path: str, cls, max_array_bytes: int = 2**31):
     """Load a protocol object saved by :func:`save` as ``cls`` (NamedTuple),
     converting leaves to jnp arrays.
 
-    The per-array size cap defaults to 1 TiB here, far above loads()'s
-    2 GiB hostile-input default: a local checkpoint file is self-written
-    trusted data (the cap exists to stop attacker-sized allocations on
-    the *wire* path), and an honest checkpoint of a large mostly-zero
-    array (e.g. identity key blocks) can legitimately decode to many
-    times its varint payload size. Pass a tighter cap when loading
-    checkpoints from an untrusted source."""
+    The per-array allocation cap defaults to loads()'s 2 GiB: nothing in
+    this signature proves the file is self-written (checkpoints get copied
+    between machines), so the wire path's attacker-sized-allocation bound
+    applies here too. An honest checkpoint of a huge mostly-zero array
+    (trimmed varints decode to many times their payload size) can
+    legitimately exceed it -- pass an explicitly larger cap for such
+    trusted local files."""
     with open(path, "rb") as f:
         data = serial.loads(f.read(), max_array_bytes=max_array_bytes)
     data = {k: (None if v is None else jnp.asarray(v)) for k, v in data.items()}

@@ -38,17 +38,21 @@ import jax.numpy as jnp
 
 
 def _time_fn(fn, args, iters=50, windows=5):
+    """Median-of-windows LATENCY timing: block_until_ready after EVERY
+    dispatch. bench.py's throughput loops deliberately let dispatches
+    pipeline (sync once per window); here that would measure reciprocal
+    throughput and understate time-to-result, which is the entire quantity
+    this script decomposes -- a latency number must include the full
+    dispatch->result round trip of each call."""
     out = fn(*args)
     jax.block_until_ready(out)
     for _ in range(3):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        jax.block_until_ready(fn(*args))
     times = []
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
+            jax.block_until_ready(fn(*args))
         times.append((time.perf_counter() - t0) / iters)
     times.sort()
     return times[len(times) // 2]

@@ -19,9 +19,20 @@ run() {
   local label="$1"; shift
   echo "=== $label: $* [$(date +%H:%M:%S)]" >&2
   local out
-  out=$(timeout 2400 "$@" 2>/tmp/refresh_last.err)
+  out=$(timeout 3600 "$@" 2>/tmp/refresh_last.err)
   local rc=$?
-  echo "{\"label\": \"$label\", \"rc\": $rc, \"result\": ${out:-null}}" >> "$LOG"
+  # the captured stdout is only valid as a JSON value if it IS one line of
+  # JSON; anything else (partial line after a crash, stray warnings, several
+  # lines) would corrupt the whole JSONL log -- re-encode it as a string then
+  python3 - "$label" "$rc" "$out" >> "$LOG" <<'EOF'
+import json, sys
+label, rc, out = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+try:
+    result = json.loads(out) if out.strip() else None
+except ValueError:
+    result = {"unparsed_stdout": out}
+print(json.dumps({"label": label, "rc": rc, "result": result}))
+EOF
   echo "$label -> $out (rc=$rc)" >&2
 }
 

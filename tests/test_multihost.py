@@ -91,17 +91,27 @@ def test_two_process_distributed_run():
     see the 8-device global mesh as 2 processes, both verify every proof,
     and both report the identical replicated verdict for identical inputs.
     """
-    port = _free_port()
-    procs = [_spawn_worker(port, i) for i in (0, 1)]
-    outs = []
-    try:
-        for p in procs:
-            stdout, stderr = p.communicate(timeout=420)
-            outs.append((p.returncode, stdout, stderr))
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+    # the free-port probe is inherently TOCTOU (the socket closes before the
+    # coordinator re-binds it): retry with a fresh port if the rendezvous
+    # fails with a bind error instead of flaking the suite
+    for attempt in range(3):
+        port = _free_port()
+        procs = [_spawn_worker(port, i) for i in (0, 1)]
+        outs = []
+        try:
+            for p in procs:
+                stdout, stderr = p.communicate(timeout=420)
+                outs.append((p.returncode, stdout, stderr))
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        bind_race = any(
+            rc != 0 and ("already in use" in err.lower() or "bind" in err.lower())
+            for rc, _, err in outs
+        )
+        if not bind_race:
+            break
 
     results = []
     for rc, stdout, stderr in outs:

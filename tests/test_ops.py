@@ -190,11 +190,22 @@ def test_challenge_signkey_mode():
     # different stream than the default two-draw mode
     c_default = sampling.challenge(jax.random.PRNGKey(3), (200,), n, kappa)
     assert not np.array_equal(np.asarray(c), np.asarray(c_default))
-    # sign bit must be independent of selection: the SELECTED coefficients'
-    # signs are also balanced (a correlation bug would skew this)
-    sel_pos = int(jnp.sum(c == 1))
-    sel_neg = int(jnp.sum(c == -1))
-    assert sel_pos + sel_neg == 200 * kappa
+    # sign bit must be independent of selection. The raw draws expose both
+    # planes for ALL lanes (not just the kappa selected ones): the
+    # point-biserial correlation between "sign is +1" and "lane selected"
+    # must vanish -- a selection rule that peeks at bit 0 (e.g. keys not
+    # shifted down) skews it far beyond the 5-sigma band ~5/sqrt(M).
+    with env_override("RINGZK_CHALLENGE_SIGNKEY", "1"):
+        signs, u = sampling.challenge_draws(jax.random.PRNGKey(3), (200,), n)
+    mask = sampling._mask_topk(u, kappa)
+    # the draws + mask must reconstruct challenge()'s output exactly
+    np.testing.assert_array_equal(
+        np.asarray(jnp.where(mask, signs, 0)), np.asarray(c)
+    )
+    s = np.asarray(signs == 1, np.float64).ravel()
+    m = np.asarray(mask, np.float64).ravel()
+    corr = np.corrcoef(s, m)[0, 1]
+    assert abs(corr) < 5.0 / np.sqrt(s.size), corr
 
 
 # -- zq centered arithmetic --------------------------------------------------

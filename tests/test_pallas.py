@@ -10,25 +10,9 @@ import jax.numpy as jnp
 from ringzk_tpu.ops import ntt
 from ringzk_tpu.ops.pallas import ntt_kernel
 
-import contextlib
-import os
+from conftest import env_override
 
 Q = 3_515_337_053
-
-
-@contextlib.contextmanager
-def _env(var, value):
-    """Set an env var for the block, restoring any pre-existing value
-    (a bare ``del`` would clobber a runner-pinned RINGZK_* setting)."""
-    prev = os.environ.get(var)
-    os.environ[var] = value
-    try:
-        yield
-    finally:
-        if prev is None:
-            del os.environ[var]
-        else:
-            os.environ[var] = prev
 
 
 @pytest.mark.parametrize("n", [128, 512])
@@ -81,7 +65,7 @@ def test_pallas_fused_fwd_matches_xla(rng, n, num):
     import os
     ring = ntt.get_ring(n, Q)
     x = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(5, n)), jnp.int32)
-    with _env("RINGZK_PALLAS", "0"):
+    with env_override("RINGZK_PALLAS", "0"):
         want = np.asarray(ring.fwd(x, num))
     got = np.asarray(ntt_kernel.fwd_all_pallas(ring, x, num, interpret=True))
     np.testing.assert_array_equal(got, want)
@@ -96,7 +80,7 @@ def test_pallas_fused_inv_matches_xla(rng, n, num):
     ring = ntt.get_ring(n, Q)
     a = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(4, n)), jnp.int32)
     b = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(4, n)), jnp.int32)
-    with _env("RINGZK_PALLAS", "0"):
+    with env_override("RINGZK_PALLAS", "0"):
         if num == 3:
             xh = ring.dot_hat(ring.fwd_const(a), ring.fwd(b))
         else:
@@ -111,7 +95,7 @@ def test_pallas_fused_nondivisible_batch(rng):
     n = 128
     ring = ntt.get_ring(n, Q)
     x = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(3, 7, n)), jnp.int32)
-    with _env("RINGZK_PALLAS", "0"):
+    with env_override("RINGZK_PALLAS", "0"):
         want = np.asarray(ring.fwd(x))
     got = np.asarray(ntt_kernel.fwd_all_pallas(ring, x, ntt.NUM_PRIMES, interpret=True))
     np.testing.assert_array_equal(got, want)
@@ -133,7 +117,7 @@ def test_pallas_scalar_mul_add_matches_composed(rng, n, rows, num):
         rng.integers(-1 if num < 3 else -(Q // 2), (1 if num < 3 else Q // 2) + 1,
                      size=(5, rows, n)), jnp.int32)
     t = jnp.asarray(rng.integers(-(Q // 2), Q // 2 + 1, size=(5, rows, n)), jnp.int32)
-    with _env("RINGZK_PALLAS", "0"):
+    with env_override("RINGZK_PALLAS", "0"):
         dm = ring.inv(ring.dot_hat(ring.fwd_const(d, num)[..., None, :],
                                    ring.fwd(m, num)))
         want = np.asarray(zq.add_centered(ring.qctx, t, dm))
@@ -197,7 +181,7 @@ def test_pallas_challenge_select_full_sampler(rng):
     from ringzk_tpu.ops import sampling
 
     key = jax.random.PRNGKey(7)
-    with _env("RINGZK_PALLAS_CHALLENGE", "0"):
+    with env_override("RINGZK_PALLAS_CHALLENGE", "0"):
         want = np.asarray(sampling.challenge(key, (3, 5), 512, 36))
     # interpret path via the kernel directly (CPU has no Mosaic), fed by the
     # sampler's own draw helper so the two sides cannot silently diverge
@@ -218,8 +202,8 @@ def test_pallas_challenge_select_signkey_mode():
     from ringzk_tpu.ops.pallas import challenge_kernel
 
     key = jax.random.PRNGKey(9)
-    with _env("RINGZK_CHALLENGE_SIGNKEY", "1"):
-        with _env("RINGZK_PALLAS_CHALLENGE", "0"):
+    with env_override("RINGZK_CHALLENGE_SIGNKEY", "1"):
+        with env_override("RINGZK_PALLAS_CHALLENGE", "0"):
             want = np.asarray(sampling.challenge(key, (4, 3), 512, 36))
         signs, u = sampling.challenge_draws(key, (4, 3), 512)
     got = np.asarray(
