@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,9 +32,13 @@ from ..ops.ntt import RingContext, get_ring
 from ..params import Params
 from ..utils.profiling import annotate
 
-# Largest ring degree for which the digitized MXU key operator is built
-# (memory is KEY_DIGITS * kN * (n+l)N int8 ~ 126 MB at N=2048).
-MXU_MAX_N = 2048
+# Largest ring degree for which the digitized MXU key operator is built.
+# Operator memory is KEY_DIGITS * kN * (n+l)N int8 (~126 MB at N=2048,
+# ~400 MB at N=4096) and grows as N^2 -- as does the matmul work, vs the
+# NTT path's N log N, so the digit engine's measured 2.3x win at N=2048
+# must shrink with N. RINGZK_MXU_MAX_N probes the boundary either way
+# (BENCHMARKS.md ring-degree scan records the crossover measurements).
+MXU_MAX_N = int(os.environ.get("RINGZK_MXU_MAX_N", "2048"))
 
 
 def _use_mxu() -> bool:
@@ -46,8 +52,6 @@ def _use_mxu() -> bool:
     serializing into it. (Isolated micro-benches rank the two paths the
     other way; trust the program-level numbers.) Both paths are
     bit-identical (tests/test_conv_mxu.py)."""
-    import os
-
     return os.environ.get("RINGZK_MXU", "1") == "1"
 
 
