@@ -114,3 +114,35 @@ def test_subset_prime_add_mixed_magnitude(ring, rng):
     want = (want + t.astype(object)) % Q
     want = np.where(want > Q // 2, want - Q, want)
     np.testing.assert_array_equal(np.asarray(rhs).astype(object), want)
+
+
+def test_mxu_max_n_cap_gates_digit_operator():
+    """MXU_MAX_N (env RINGZK_MXU_MAX_N, read at import) caps the digit
+    operator both ways -- the digit-vs-NTT crossover probe of
+    BENCHMARKS.md's ring-degree scan -- and verdicts stay
+    engine-independent. Patch the module global rather than reloading
+    (reload would re-mint the NamedTuple classes under other modules)."""
+    import ringzk_tpu as rz
+    from ringzk_tpu.protocols import commit as commit_mod
+    from ringzk_tpu.protocols import open as open_mod
+
+    params = rz.Params()
+    saved = commit_mod.MXU_MAX_N
+    try:
+        commit_mod.MXU_MAX_N = 64          # cap below N: no digits
+        ck_ntt = commit_mod.keygen(jax.random.PRNGKey(0), params, 128)
+        assert ck_ntt.a1_dig is None
+        commit_mod.MXU_MAX_N = 128         # cap at N (inclusive): digits
+        ck_dig = commit_mod.keygen(jax.random.PRNGKey(0), params, 128)
+        assert ck_dig.a1_dig is not None
+    finally:
+        commit_mod.MXU_MAX_N = saved
+
+    # identical key material, engine-independent verdicts
+    np.testing.assert_array_equal(np.asarray(ck_ntt.a1), np.asarray(ck_dig.a1))
+    k = jax.random.PRNGKey(1)
+    x = jax.random.randint(k, (4, params.l, 128), -params.q, params.q + 1, jnp.int32)
+    ok_a, op_a = open_mod.roundtrip(k, ck_ntt, x, params)
+    ok_b, op_b = open_mod.roundtrip(k, ck_dig, x, params)
+    np.testing.assert_array_equal(np.asarray(ok_a & op_a), np.asarray(ok_b & op_b))
+    assert bool((ok_b & op_b).all())
