@@ -152,6 +152,41 @@ def keygen(key, params: Params, n_deg: int, batch_shape=()) -> CommitmentKey:
     )
 
 
+def _use_fused_a() -> bool:
+    """Switch for the fused full-key digit matvec (RINGZK_FUSED_A=1 to
+    enable). When on, matvec_key('a', ...) against a digitized key runs as
+    ONE [B, kN] @ [kN, D*(n+l)N] matmul instead of two row-block matmuls --
+    same MACs, one wider MXU program (the combined operator is a pure
+    reshape/concat of the cached a1/a2 operators). Bit-identical either way
+    (tests/test_conv_mxu.py) but measured a clear END-TO-END LOSS on the
+    target chip: 313.0k / 309.7k proofs/s (two fresh processes, headline
+    config) vs 475.0k for the two row-block matmuls the same day -- the
+    wide-rhs matmul deprives XLA of the split schedule it overlaps better.
+    Default OFF; kept opt-in for re-measurement on other TPU generations."""
+    return os.environ.get("RINGZK_FUSED_A", "0") == "1"
+
+
+def _fused_a_dig(ck: CommitmentKey):
+    """[kN, D*(n+l)N] int8 operator for [a1; a2], derived from the cached
+    per-matrix operators. Layout proof: KeyOperator stores
+    transpose(wd, (1,0,2)).reshape(kN, D*rowsN) with wd [D, kN, rowsN], and
+    the row blocks of wd for the stacked key are exactly the concatenation
+    of the two keys' wd along the rowsN axis -- so reshape-concat-reshape
+    reconstructs KeyOperator([a1; a2]) without touching the host."""
+    n_deg = ck.n_deg
+    kn = ck.a1_dig.shape[0]
+    d = conv_mxu.KEY_DIGITS
+    rows1 = ck.a1.shape[-3]
+    rows2 = ck.a2.shape[-3]
+    return jnp.concatenate(
+        [
+            ck.a1_dig.reshape(kn, d, rows1 * n_deg),
+            ck.a2_dig.reshape(kn, d, rows2 * n_deg),
+        ],
+        axis=-1,
+    ).reshape(kn, d * (rows1 + rows2) * n_deg)
+
+
 def matvec_key(ring: RingContext, ck: CommitmentKey, which: str, v, bound: int):
     """(key-matrix . v) mod q -> centered int32 [..., rows, N].
 
@@ -165,6 +200,16 @@ def matvec_key(ring: RingContext, ck: CommitmentKey, which: str, v, bound: int):
     has no digit operator (batched keys / large N).
     """
     if which == "a":
+        ndig = conv_mxu.digits_for_bound(bound)
+        if (
+            _use_fused_a()
+            and ck.a1_dig is not None
+            and ck.a2_dig is not None
+            and ndig <= conv_mxu.KEY_DIGITS
+        ):
+            rows = ck.a1.shape[-3] + ck.a2.shape[-3]
+            vc = jnp.clip(v, -bound, bound)
+            return conv_mxu.matvec_digits(ring, _fused_a_dig(ck), rows, vc, ndig)
         lhs1 = matvec_key(ring, ck, "a1", v, bound)
         lhs2 = matvec_key(ring, ck, "a2", v, bound)
         return jnp.concatenate([lhs1, lhs2], axis=-2)

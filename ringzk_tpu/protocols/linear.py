@@ -87,12 +87,11 @@ def prover_commit(key, ck: CommitmentKey, g, x, params: Params):
     y = sample_y(k_y, params, n_deg, batch)
     yp = sample_y(k_yp, params, n_deg, batch)
 
-    t = matvec_key(ring, ck, "a1", y, gbound)
-    tp = matvec_key(ring, ck, "a1", yp, gbound)
+    # a1.y and a2.y ride one fused full-key matvec each (split afterwards)
+    t, a2y = mat.split_rows(matvec_key(ring, ck, "a", y, gbound), params.n)
+    tp, a2yp = mat.split_rows(matvec_key(ring, ck, "a", yp, gbound), params.n)
     # u = g*(a2.y) - a2.yp. Depth-one rule (see RingContext.inv): a2.y is a
     # reduced mod-q value before the second multiplication by g.
-    a2y = matvec_key(ring, ck, "a2", y, gbound)
-    a2yp = matvec_key(ring, ck, "a2", yp, gbound)
     u = zq.sub_centered(
         ring.qctx,
         ring.inv(mat.scalar_mul_hat(ring, g_hat, ring.fwd(a2y))),
@@ -160,20 +159,16 @@ def verify(
     def t_plus_c1d(t, c1):
         return ring.scalar_mul_add(vctx.d, c1, t, num_d)
 
+    # each of z, zp needs both a1.* and a2.*: one fused full-key matvec each
+    a1z, a2z = mat.split_rows(matvec_key(ring, ck, "a", z, vbound), params.n)
+    a1zp, a2zp = mat.split_rows(matvec_key(ring, ck, "a", zp, vbound), params.n)
+
     # a1.z == t + c1*d ; a1.zp == tp + c1p*d
-    eq1 = mat.poly_equal(
-        matvec_key(ring, ck, "a1", z, vbound), t_plus_c1d(vctx.t, vctx.c1),
-        struct_axes=1,
-    )
-    eq2 = mat.poly_equal(
-        matvec_key(ring, ck, "a1", zp, vbound), t_plus_c1d(vctx.tp, vctx.c1p),
-        struct_axes=1,
-    )
+    eq1 = mat.poly_equal(a1z, t_plus_c1d(vctx.t, vctx.c1), struct_axes=1)
+    eq2 = mat.poly_equal(a1zp, t_plus_c1d(vctx.tp, vctx.c1p), struct_axes=1)
     # g*(a2.z) - a2.zp == (g*c2 - c2p)*d + u
     # Depth-one rule: reduce a2.z mod q before multiplying by g, and reduce
     # (g*c2 - c2p) mod q before multiplying by d.
-    a2z = matvec_key(ring, ck, "a2", z, vbound)
-    a2zp = matvec_key(ring, ck, "a2", zp, vbound)
     lhs = zq.sub_centered(
         ring.qctx,
         ring.inv(mat.scalar_mul_hat(ring, g_hat, ring.fwd(a2z))),

@@ -114,12 +114,13 @@ def prover_commit(key, ck: CommitmentKey, gs, xs, params: Params):
     ys = sample_y(k_ys, params, n_deg, batch + (vl,))
     yp = sample_y(k_yp, params, n_deg, batch)
 
-    ts = matvec_key(ring, ck, "a1", ys, gbound)   # [..., V, n, N]
-    tp = matvec_key(ring, ck, "a1", yp, gbound)   # [..., n, N]
+    # a1.y_i and a2.y_i ride one fused full-key matvec per input vector
+    ts, a2ys = mat.split_rows(
+        matvec_key(ring, ck, "a", ys, gbound), params.n
+    )  # [..., V, n, N], [..., V, l, N]
+    tp, a2yp = mat.split_rows(matvec_key(ring, ck, "a", yp, gbound), params.n)
 
     # u = sum_i g_i*(a2.y_i) - a2.yp  (depth-one: a2.y_i reduced mod q)
-    a2ys = matvec_key(ring, ck, "a2", ys, gbound)  # [..., V, l, N]
-    a2yp = matvec_key(ring, ck, "a2", yp, gbound)  # [..., l, N]
     gay = mat.scalar_mul_hat(ring, gs_hat, ring.fwd(a2ys))    # [P, ..., V, l, N]
     u = zq.sub_centered(ring.qctx, ring.inv(_sum_v(ring, gay, v_axis=-3)), a2yp)
 
@@ -189,19 +190,18 @@ def verify(
     # domain afterwards (skips their forward transforms)
     num_d = ring.primes_needed(min(params.kappa, n_deg) * 2**31)
 
+    # each of zs, zp needs both a1.* and a2.*: one fused full-key matvec each
+    a1zs, a2zs = mat.split_rows(matvec_key(ring, ck, "a", zs, vbound), params.n)
+    a1zp, a2zp = mat.split_rows(matvec_key(ring, ck, "a", zp, vbound), params.n)
+
     # per-i: a1.z_i == t_i + c1_i*d  (d broadcasts over V)
     rhs1 = ring.scalar_mul_add(vctx.d, vctx.c1s, vctx.ts, num_d)
-    eq1 = jnp.all(
-        mat.poly_equal(matvec_key(ring, ck, "a1", zs, vbound), rhs1, struct_axes=1),
-        axis=-1,
-    )
+    eq1 = jnp.all(mat.poly_equal(a1zs, rhs1, struct_axes=1), axis=-1)
     # a1.zp == tp + c1p*d
     rhs2 = ring.scalar_mul_add(vctx.d, vctx.c1p, vctx.tp, num_d)
-    eq2 = mat.poly_equal(matvec_key(ring, ck, "a1", zp, vbound), rhs2, struct_axes=1)
+    eq2 = mat.poly_equal(a1zp, rhs2, struct_axes=1)
 
     # sum_i g_i*(a2.z_i) - a2.zp == (sum_i g_i*c2_i - c2p)*d + u
-    a2zs = matvec_key(ring, ck, "a2", zs, vbound)                   # [..., V, l, N]
-    a2zp = matvec_key(ring, ck, "a2", zp, vbound)
     lhs = zq.sub_centered(
         ring.qctx,
         ring.inv(

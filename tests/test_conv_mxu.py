@@ -146,3 +146,33 @@ def test_mxu_max_n_cap_gates_digit_operator():
     ok_b, op_b = open_mod.roundtrip(k, ck_dig, x, params)
     np.testing.assert_array_equal(np.asarray(ok_a & op_a), np.asarray(ok_b & op_b))
     assert bool((ok_b & op_b).all())
+
+
+def test_fused_full_key_matvec_bit_identical():
+    """matvec_key('a', ...) with the fused [kN, D*(n+l)N] operator
+    (RINGZK_FUSED_A=1, opt-in) must equal the two row-block matmuls
+    (RINGZK_FUSED_A=0, the measured-faster default) AND the exact NTT path,
+    for both digit widths the protocols use (ternary r and verify-bound z)."""
+    from conftest import env_override
+    from ringzk_tpu import Params
+    from ringzk_tpu.protocols import commit as commit_mod
+
+    params = Params()
+    n_deg = 64
+    ring = ntt.get_ring(n_deg, params.modulus)
+    ck = commit_mod.keygen(jax.random.PRNGKey(3), params, n_deg)
+    assert ck.a1_dig is not None and ck.a2_dig is not None
+
+    for bound in (params.b, params.commit_bound(n_deg)):
+        v = jax.random.randint(
+            jax.random.PRNGKey(4), (5, params.k, n_deg), -bound, bound + 1,
+            jnp.int32,
+        )
+        with env_override("RINGZK_FUSED_A", "1"):
+            fused = np.asarray(commit_mod.matvec_key(ring, ck, "a", v, bound))
+        with env_override("RINGZK_FUSED_A", "0"):
+            split = np.asarray(commit_mod.matvec_key(ring, ck, "a", v, bound))
+        a = np.concatenate([np.asarray(ck.a1), np.asarray(ck.a2)], axis=0)
+        want = _ntt_matvec(ring, a.astype(np.int64), np.asarray(v))
+        np.testing.assert_array_equal(fused, split)
+        np.testing.assert_array_equal(fused, want)
