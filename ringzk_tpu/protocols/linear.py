@@ -22,7 +22,14 @@ from ..ops import mat, sampling, zq
 from ..ops.ntt import get_ring
 from ..params import Params
 from ..utils.profiling import annotate
-from .commit import Commitment, CommitmentKey, Opening, commit, matvec_key, verify_ok
+from .commit import (
+    Commitment,
+    CommitmentKey,
+    Opening,
+    commit,
+    matvec_key_siblings,
+    verify_ok,
+)
 from .open import gaussian_bound, sample_y
 
 
@@ -87,9 +94,11 @@ def prover_commit(key, ck: CommitmentKey, g, x, params: Params):
     y = sample_y(k_y, params, n_deg, batch)
     yp = sample_y(k_yp, params, n_deg, batch)
 
-    # a1.y and a2.y ride one fused full-key matvec each (split afterwards)
-    t, a2y = mat.split_rows(matvec_key(ring, ck, "a", y, gbound), params.n)
-    tp, a2yp = mat.split_rows(matvec_key(ring, ck, "a", yp, gbound), params.n)
+    # a1.y and a2.y ride one fused full-key matvec each (split afterwards);
+    # y and yp stack into a single dispatch under RINGZK_STACKED
+    ay, ayp = matvec_key_siblings(ring, ck, (y, yp), gbound)
+    t, a2y = mat.split_rows(ay, params.n)
+    tp, a2yp = mat.split_rows(ayp, params.n)
     # u = g*(a2.y) - a2.yp. Depth-one rule (see RingContext.inv): a2.y is a
     # reduced mod-q value before the second multiplication by g.
     u = zq.sub_centered(
@@ -159,9 +168,11 @@ def verify(
     def t_plus_c1d(t, c1):
         return ring.scalar_mul_add(vctx.d, c1, t, num_d)
 
-    # each of z, zp needs both a1.* and a2.*: one fused full-key matvec each
-    a1z, a2z = mat.split_rows(matvec_key(ring, ck, "a", z, vbound), params.n)
-    a1zp, a2zp = mat.split_rows(matvec_key(ring, ck, "a", zp, vbound), params.n)
+    # each of z, zp needs both a1.* and a2.*: one fused full-key matvec
+    # each; z and zp stack into a single dispatch under RINGZK_STACKED
+    az, azp = matvec_key_siblings(ring, ck, (z, zp), vbound)
+    a1z, a2z = mat.split_rows(az, params.n)
+    a1zp, a2zp = mat.split_rows(azp, params.n)
 
     # a1.z == t + c1*d ; a1.zp == tp + c1p*d
     eq1 = mat.poly_equal(a1z, t_plus_c1d(vctx.t, vctx.c1), struct_axes=1)

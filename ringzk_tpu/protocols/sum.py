@@ -32,7 +32,15 @@ from ..ops import mat, sampling, zq
 from ..ops.ntt import get_ring
 from ..params import Params
 from ..utils.profiling import annotate
-from .commit import Commitment, CommitmentKey, Opening, commit, matvec_key, verify_ok
+from .commit import (
+    Commitment,
+    CommitmentKey,
+    Opening,
+    stack_siblings_ok,
+    commit,
+    matvec_key,
+    verify_ok,
+)
 from .open import gaussian_bound, sample_y
 
 
@@ -84,6 +92,21 @@ def _sum_v(ring, hat, v_axis):
     return ring.sum_hat(hat, v_axis)
 
 
+def _matvec_key_v1(ring, ck: CommitmentKey, vs, vp, bound: int):
+    """Full-key matvec for the summand stack vs [..., V, k, N] plus the
+    singleton vp [..., k, N]: one concatenated [..., V+1, ...] dispatch
+    when stacking applies (commit.stack_siblings_ok: RINGZK_STACKED + the
+    digit engine -- the NTT fallback's key-batch broadcast would misalign
+    against the stack axis), two otherwise. Bit-identical either way
+    (independent matmul rows)."""
+    if stack_siblings_ok(ck, bound):
+        out = matvec_key(
+            ring, ck, "a", jnp.concatenate([vs, vp[..., None, :, :]], axis=-3), bound
+        )
+        return out[..., :-1, :, :], out[..., -1, :, :]
+    return matvec_key(ring, ck, "a", vs, bound), matvec_key(ring, ck, "a", vp, bound)
+
+
 @annotate("sum_proof/commit")
 def prover_commit(key, ck: CommitmentKey, gs, xs, params: Params):
     """Move 1 (/root/reference/src/prove/sum.rs:99-178).
@@ -114,11 +137,11 @@ def prover_commit(key, ck: CommitmentKey, gs, xs, params: Params):
     ys = sample_y(k_ys, params, n_deg, batch + (vl,))
     yp = sample_y(k_yp, params, n_deg, batch)
 
-    # a1.y_i and a2.y_i ride one fused full-key matvec per input vector
-    ts, a2ys = mat.split_rows(
-        matvec_key(ring, ck, "a", ys, gbound), params.n
-    )  # [..., V, n, N], [..., V, l, N]
-    tp, a2yp = mat.split_rows(matvec_key(ring, ck, "a", yp, gbound), params.n)
+    # a1.y_i and a2.y_i ride one fused full-key matvec per input vector;
+    # ys and yp concatenate into a single dispatch under RINGZK_STACKED
+    ays, ayp = _matvec_key_v1(ring, ck, ys, yp, gbound)
+    ts, a2ys = mat.split_rows(ays, params.n)  # [..., V, n, N], [..., V, l, N]
+    tp, a2yp = mat.split_rows(ayp, params.n)
 
     # u = sum_i g_i*(a2.y_i) - a2.yp  (depth-one: a2.y_i reduced mod q)
     gay = mat.scalar_mul_hat(ring, gs_hat, ring.fwd(a2ys))    # [P, ..., V, l, N]
@@ -191,8 +214,9 @@ def verify(
     num_d = ring.primes_needed(min(params.kappa, n_deg) * 2**31)
 
     # each of zs, zp needs both a1.* and a2.*: one fused full-key matvec each
-    a1zs, a2zs = mat.split_rows(matvec_key(ring, ck, "a", zs, vbound), params.n)
-    a1zp, a2zp = mat.split_rows(matvec_key(ring, ck, "a", zp, vbound), params.n)
+    azs, azp = _matvec_key_v1(ring, ck, zs, zp, vbound)
+    a1zs, a2zs = mat.split_rows(azs, params.n)
+    a1zp, a2zp = mat.split_rows(azp, params.n)
 
     # per-i: a1.z_i == t_i + c1_i*d  (d broadcasts over V)
     rhs1 = ring.scalar_mul_add(vctx.d, vctx.c1s, vctx.ts, num_d)

@@ -206,3 +206,58 @@ def test_batched_keys(ck):
     x = rand_x(kx, (8,))
     ok, opening_ok = open_mod.roundtrip(kp, cks, x, PARAMS)
     assert bool(jnp.all(ok)) and bool(jnp.all(opening_ok))
+
+
+def test_stacked_sibling_matvec_bit_identical(ck):
+    """RINGZK_STACKED=1 (one stacked full-key matvec for linear's y/yp and
+    z/zp and sum's ys/zs + yp/zp) must produce bit-identical protocol
+    transcripts AND verdicts vs the per-vector dispatches (RINGZK_STACKED=0):
+    the stack axis is just more independent matmul rows
+    (protocols/commit.py:matvec_key_siblings, sum.py:_matvec_key_v1)."""
+    from conftest import env_override
+
+    def linear_transcript():
+        kg, kx, kp, kc = jax.random.split(jax.random.PRNGKey(21), 4)
+        g, x = rand_g(kg, (6,)), rand_x(kx, (6,))
+        rctx, pcom = linear.prover_commit(kp, ck, g, x, PARAMS)
+        vctx, chal = linear.generate_challenge(kc, pcom, PARAMS)
+        resp = linear.create_response(rctx, chal, PARAMS)
+        ok = linear.verify(ck, resp, vctx, PARAMS)
+        return [pcom.t, pcom.tp, pcom.u, resp.z, resp.zp, ok]
+
+    def sum_transcript():
+        kg, kx, kp, kc = jax.random.split(jax.random.PRNGKey(22), 4)
+        gs = jax.random.randint(kg, (4, 3, N), -PARAMS.q, PARAMS.q + 1, jnp.int32)
+        xs = jax.random.randint(
+            kx, (4, 3, PARAMS.l, N), -PARAMS.q, PARAMS.q + 1, jnp.int32
+        )
+        rctx, pcom = sum_mod.prover_commit(kp, ck, gs, xs, PARAMS)
+        vctx, chal = sum_mod.generate_challenge(kc, pcom, PARAMS)
+        resp = sum_mod.create_response(rctx, chal, PARAMS)
+        ok = sum_mod.verify(ck, resp, vctx, PARAMS)
+        return [pcom.ts, pcom.tp, pcom.u, resp.zs, resp.zp, ok]
+
+    for transcript in (linear_transcript, sum_transcript):
+        with env_override("RINGZK_STACKED", "1"):
+            stacked = [np.asarray(a) for a in transcript()]
+        with env_override("RINGZK_STACKED", "0"):
+            split = [np.asarray(a) for a in transcript()]
+        assert bool(stacked[-1].all()), "stacked roundtrip must verify"
+        for a, b in zip(stacked, split):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_stacked_flag_safe_with_batched_keys():
+    """RINGZK_STACKED=1 must not break batched keys: those have no digit
+    operators, so stack_siblings_ok routes them to the per-vector NTT path
+    (a stacked axis would misalign against the key-batch broadcast in
+    mat.matvec_hat). The linear roundtrip must still verify."""
+    from conftest import env_override
+
+    kk, kg, kx, kp = jax.random.split(jax.random.PRNGKey(23), 4)
+    cks = keygen(kk, PARAMS, N, batch_shape=(4,))
+    assert cks.a1_dig is None
+    g, x = rand_g(kg, (4,)), rand_x(kx, (4,))
+    with env_override("RINGZK_STACKED", "1"):
+        ok, op_ok = linear.roundtrip(kp, cks, g, x, PARAMS)
+    assert bool(jnp.all(ok)) and bool(jnp.all(op_ok))
