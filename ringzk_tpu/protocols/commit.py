@@ -223,30 +223,38 @@ def matvec_key(ring: RingContext, ck: CommitmentKey, which: str, v, bound: int):
     return ring.inv(mat.matvec_hat(ring, a_hat, ring.fwd(v)))
 
 
-def _use_stacked() -> bool:
-    """Switch for the stacked sibling full-key matvec (RINGZK_STACKED=0 to
-    disable). When on, sibling vectors that hit the key with the same bound
-    in one phase (linear's y/yp and z/zp, sum's zs+zp) ride ONE matvec_key
-    dispatch with an extra leading stack axis instead of one dispatch each.
-    Unlike the rejected RINGZK_FUSED_A (which widened the matmul's rhs),
-    this grows the lhs ROW batch -- the axis matvec_digits already flattens
-    into the matmul -- so the program shape XLA schedules is unchanged, only
-    bigger. Bit-identical by construction (matmul rows are independent; the
-    digit fold is elementwise) and tested (tests/test_protocols.py).
-    Default OFF pending the end-to-end A/B measurement -- the repo rule:
-    flags flip default only on a measured win (BENCHMARKS.md)."""
-    return os.environ.get("RINGZK_STACKED", "0") == "1"
+def _stacked_level() -> int:
+    """Level for the stacked sibling full-key matvec (RINGZK_STACKED):
+    sibling vectors that hit the key with the same bound in one phase ride
+    ONE matvec_key dispatch with an extra leading stack axis instead of one
+    dispatch each. Bit-identical by construction (matmul rows are
+    independent; the digit fold is elementwise) and tested
+    (tests/test_protocols.py). Levels, set by the round-3 A/B on the chip
+    (two interleaved fresh-process scripts/bench_all.py --batch 4096 pairs,
+    ns/proof stacked vs split):
+
+      0 -- never stack.
+      1 (default) -- stack sum's V+1-sibling concat only: MEASURED WIN
+        (sum commit 13,714/15,809 vs 18,541/19,087; verify 12,905/13,942
+        vs 14,228/15,147 -- the singleton yp/zp dispatch at 1/8 batch was
+        too small to utilize the MXU on its own).
+      2 -- also stack linear's 2-sibling pairs: MEASURED LOSS on this chip
+        (linear commit 5,905/9,481 vs 4,901/5,739; verify 5,711/6,006 vs
+        4,814/4,768 -- merging removes the two-matmul overlap XLA schedules
+        itself, the RINGZK_FUSED_A failure mode). Kept for re-measurement
+        on other TPU generations."""
+    return int(os.environ.get("RINGZK_STACKED", "1"))
 
 
-def stack_siblings_ok(ck: CommitmentKey, bound: int) -> bool:
-    """True when sibling stacking may be applied: the digit engine must be
-    the path actually taken (matvec_digits flattens ANY leading axes into
-    the matmul row batch). The NTT fallback is excluded -- with batched
-    keys its broadcast aligns key-batch axes against the stack axis
-    (mat.matvec_hat right-aligned prefixes), which is wrong, and for
+def stack_siblings_ok(ck: CommitmentKey, bound: int, level: int = 1) -> bool:
+    """True when sibling stacking at ``level`` may be applied: the digit
+    engine must be the path actually taken (matvec_digits flattens ANY
+    leading axes into the matmul row batch). The NTT fallback is excluded --
+    with batched keys its broadcast aligns key-batch axes against the stack
+    axis (mat.matvec_hat right-aligned prefixes), which is wrong, and for
     unbatched large-N keys stacking buys nothing measurable."""
     return (
-        _use_stacked()
+        _stacked_level() >= level
         and ck.a1_dig is not None
         and ck.a2_dig is not None
         and conv_mxu.digits_for_bound(bound) <= conv_mxu.KEY_DIGITS
@@ -256,9 +264,10 @@ def stack_siblings_ok(ck: CommitmentKey, bound: int) -> bool:
 def matvec_key_siblings(ring: RingContext, ck: CommitmentKey, vs, bound: int):
     """Full-key matvec for sibling vectors of one shape [..., k, N]: returns
     [matvec_key(ring, ck, 'a', v, bound) for v in vs], computed as a single
-    stacked dispatch when stack_siblings_ok (one matmul with len(vs)x the
-    row batch), per-vector dispatches otherwise. Bit-identical either way."""
-    if len(vs) > 1 and stack_siblings_ok(ck, bound):
+    stacked dispatch at RINGZK_STACKED>=2 (one matmul with len(vs)x the row
+    batch; a measured loss at the default batch, see _stacked_level),
+    per-vector dispatches otherwise. Bit-identical either way."""
+    if len(vs) > 1 and stack_siblings_ok(ck, bound, level=2):
         out = matvec_key(ring, ck, "a", jnp.stack(vs, axis=-3), bound)
         return [out[..., i, :, :] for i in range(len(vs))]
     return [matvec_key(ring, ck, "a", v, bound) for v in vs]

@@ -95,7 +95,7 @@ def prover_commit(key, ck: CommitmentKey, g, x, params: Params):
     yp = sample_y(k_yp, params, n_deg, batch)
 
     # a1.y and a2.y ride one fused full-key matvec each (split afterwards);
-    # y and yp stack into a single dispatch under RINGZK_STACKED
+    # y and yp stack into a single dispatch at RINGZK_STACKED>=2 (opt-in)
     ay, ayp = matvec_key_siblings(ring, ck, (y, yp), gbound)
     t, a2y = mat.split_rows(ay, params.n)
     tp, a2yp = mat.split_rows(ayp, params.n)
@@ -169,7 +169,7 @@ def verify(
         return ring.scalar_mul_add(vctx.d, c1, t, num_d)
 
     # each of z, zp needs both a1.* and a2.*: one fused full-key matvec
-    # each; z and zp stack into a single dispatch under RINGZK_STACKED
+    # each; z and zp stack into a single dispatch at RINGZK_STACKED>=2 (opt-in)
     az, azp = matvec_key_siblings(ring, ck, (z, zp), vbound)
     a1z, a2z = mat.split_rows(az, params.n)
     a1zp, a2zp = mat.split_rows(azp, params.n)

@@ -95,8 +95,9 @@ def _sum_v(ring, hat, v_axis):
 def _matvec_key_v1(ring, ck: CommitmentKey, vs, vp, bound: int):
     """Full-key matvec for the summand stack vs [..., V, k, N] plus the
     singleton vp [..., k, N]: one concatenated [..., V+1, ...] dispatch
-    when stacking applies (commit.stack_siblings_ok: RINGZK_STACKED + the
-    digit engine -- the NTT fallback's key-batch broadcast would misalign
+    when stacking applies (commit.stack_siblings_ok level 1, the DEFAULT --
+    a measured win on the chip, see commit._stacked_level; requires the
+    digit engine: the NTT fallback's key-batch broadcast would misalign
     against the stack axis), two otherwise. Bit-identical either way
     (independent matmul rows)."""
     if stack_siblings_ok(ck, bound):

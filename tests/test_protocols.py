@@ -209,11 +209,12 @@ def test_batched_keys(ck):
 
 
 def test_stacked_sibling_matvec_bit_identical(ck):
-    """RINGZK_STACKED=1 (one stacked full-key matvec for linear's y/yp and
-    z/zp and sum's ys/zs + yp/zp) must produce bit-identical protocol
-    transcripts AND verdicts vs the per-vector dispatches (RINGZK_STACKED=0):
-    the stack axis is just more independent matmul rows
-    (protocols/commit.py:matvec_key_siblings, sum.py:_matvec_key_v1)."""
+    """Stacked full-key matvecs (RINGZK_STACKED=2: linear's y/yp and z/zp
+    plus sum's ys+yp / zs+zp; =1 is the sum-only default) must produce
+    bit-identical protocol transcripts AND verdicts vs the per-vector
+    dispatches (RINGZK_STACKED=0): the stack axis is just more independent
+    matmul rows (protocols/commit.py:matvec_key_siblings,
+    sum.py:_matvec_key_v1)."""
     from conftest import env_override
 
     def linear_transcript():
@@ -238,7 +239,7 @@ def test_stacked_sibling_matvec_bit_identical(ck):
         return [pcom.ts, pcom.tp, pcom.u, resp.zs, resp.zp, ok]
 
     for transcript in (linear_transcript, sum_transcript):
-        with env_override("RINGZK_STACKED", "1"):
+        with env_override("RINGZK_STACKED", "2"):
             stacked = [np.asarray(a) for a in transcript()]
         with env_override("RINGZK_STACKED", "0"):
             split = [np.asarray(a) for a in transcript()]
@@ -248,7 +249,7 @@ def test_stacked_sibling_matvec_bit_identical(ck):
 
 
 def test_stacked_flag_safe_with_batched_keys():
-    """RINGZK_STACKED=1 must not break batched keys: those have no digit
+    """RINGZK_STACKED=2 must not break batched keys: those have no digit
     operators, so stack_siblings_ok routes them to the per-vector NTT path
     (a stacked axis would misalign against the key-batch broadcast in
     mat.matvec_hat). The linear roundtrip must still verify."""
@@ -258,6 +259,6 @@ def test_stacked_flag_safe_with_batched_keys():
     cks = keygen(kk, PARAMS, N, batch_shape=(4,))
     assert cks.a1_dig is None
     g, x = rand_g(kg, (4,)), rand_x(kx, (4,))
-    with env_override("RINGZK_STACKED", "1"):
+    with env_override("RINGZK_STACKED", "2"):
         ok, op_ok = linear.roundtrip(kp, cks, g, x, PARAMS)
     assert bool(jnp.all(ok)) and bool(jnp.all(op_ok))
