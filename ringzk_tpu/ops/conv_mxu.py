@@ -14,10 +14,11 @@ matmuls run at hundreds of TOPS:
   * a batch of input vectors v [B, k, N] (small-bounded: ternary r needs 1
     digit, Gaussian y / response z need 3) is digit-decomposed on device;
   * out[dv, dw] = v_digits[dv] @ W_digits[dw] runs on the MXU with exact
-    int32 accumulation (|products| <= 128*128, contraction k*N <= 2^17
-    keeps sums < 2^31);
+    int32 accumulation (|products| <= 128*128; contraction k*N < 2^15 keeps
+    even a KEY_DIGITS-plane shift-group sum < 2^31);
   * digit planes are grouped by total shift s = dv + dw (partial sums stay
-    int32-exact) and folded mod q with one Montgomery multiply per shift.
+    int32-exact under the k*N gate) and folded mod q with one Montgomery
+    multiply per shift.
 
 The result equals ring.inv(matvec_hat(...)) bit-for-bit (tested in
 tests/test_conv_mxu.py) while moving ~90% of the arithmetic from the VPU to
@@ -109,7 +110,9 @@ class KeyOperator:
         if a.ndim != 3:
             raise ValueError(f"key operator needs [rows, k, N], got {a.shape}")
         rows, k, n = a.shape
-        if k * n * (RADIX // 2) ** 2 >= 2**31:
+        if KEY_DIGITS * k * n * (RADIX // 2) ** 2 >= 2**31:
+            # per-plane sums are bounded by kN*128^2 and up to KEY_DIGITS
+            # planes share one shift group in matvec_digits
             raise ValueError("contraction too long for exact int32 accumulation")
         self.rows, self.k, self.n = rows, k, n
         self.ring = ring
@@ -217,7 +220,8 @@ def build_operator_digits_device(a, ring: RingContext):
     if a.ndim != 3:
         raise ValueError(f"key operator needs [rows, k, N], got {a.shape}")
     rows, k, n = a.shape
-    if k * n * (RADIX // 2) ** 2 >= 2**31:
+    if KEY_DIGITS * k * n * (RADIX // 2) ** 2 >= 2**31:
+        # same group-sum capacity bound as KeyOperator
         raise ValueError("contraction too long for exact int32 accumulation")
 
     # W[t*N + i, row*N + j] = sign * a[row, t, (j - i) mod N]  (static gather)

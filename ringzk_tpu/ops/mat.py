@@ -30,16 +30,46 @@ def matvec_hat(ring: RingContext, a_hat, v_hat):
     a_hat: [P, *A, rows, k, N] uint32; v_hat: [P, *B, k, N] uint32 with
     broadcast-compatible batch prefixes *A and *B. Returns [P, *, rows, N].
     The contraction length k must be <= RingContext.ACC_MAX for CRT
-    exactness (k is 3..8 in practice).
+    exactness (k is 3..8 in practice); use :func:`matvec` for arbitrary k
+    (chunked, centered result).
     """
     k = a_hat.shape[-2]
-    assert v_hat.shape[-2] == k, (a_hat.shape, v_hat.shape)
-    assert k <= ring.ACC_MAX
+    if v_hat.shape[-2] != k:
+        raise ValueError(f"matvec_hat: contraction mismatch {a_hat.shape} . {v_hat.shape}")
+    if k > ring.ACC_MAX:
+        raise ValueError(
+            f"matvec_hat: contraction length {k} exceeds ACC_MAX={ring.ACC_MAX}"
+            " (CRT exactness); use mat.matvec for chunked accumulation"
+        )
     v_hat = v_hat[..., None, :, :]  # [P, *B, 1, k, N]
     out = ring.dot_hat(a_hat[..., :, 0, :], v_hat[..., :, 0, :])
     for t in range(1, k):
         out = ring.add_hat(out, ring.dot_hat(a_hat[..., :, t, :], v_hat[..., :, t, :]))
     return out  # [P, *, rows, N]
+
+
+def matvec(ring: RingContext, a_hat, v_hat):
+    """Centered (matrix . vector) over the ring, exact for ANY contraction
+    length k (reference parity: `Mat::dot` works for any k,
+    /root/reference/src/mat.rs:95-115). Chunks the contraction at ACC_MAX
+    terms, reducing each partial out of the NTT domain before adding the
+    centered partials mod q. Shapes as matvec_hat; returns int32 [*, rows, N].
+    """
+    k = a_hat.shape[-2]
+    if v_hat.shape[-2] != k:
+        raise ValueError(f"matvec: contraction mismatch {a_hat.shape} . {v_hat.shape}")
+    out = None
+    for start in range(0, k, ring.ACC_MAX):
+        stop = min(start + ring.ACC_MAX, k)
+        part = ring.inv(
+            matvec_hat(
+                ring,
+                a_hat[..., :, start:stop, :],
+                v_hat[..., start:stop, :],
+            )
+        )
+        out = part if out is None else zq.add_centered(ring.qctx, out, part)
+    return out
 
 
 def scalar_mul_hat(ring: RingContext, g_hat, m_hat):
@@ -128,15 +158,15 @@ def extend_cols(a, b):
 def dot(ring: RingContext, a, b):
     """Full matrix product over the ring: [..., m, n, N] . [..., n, p, N]
     -> [..., m, p, N], centered int32 (the reference's triple-loop
-    `Mat::dot`, mat.rs:95-115, via NTT pointwise MACs). The contraction
-    length n must be <= RingContext.ACC_MAX."""
+    `Mat::dot`, mat.rs:95-115, via NTT pointwise MACs). Exact for any
+    contraction length (chunked accumulation past ACC_MAX terms)."""
     n_c = a.shape[-2]
-    assert b.shape[-3] == n_c, (a.shape, b.shape)
-    assert n_c <= ring.ACC_MAX
+    if b.shape[-3] != n_c:
+        raise ValueError(f"dot: contraction mismatch {a.shape} . {b.shape}")
     a_hat = ring.fwd_const(a)          # [P, ..., m, n, N]
     b_hat = ring.fwd(b)                # [P, ..., n, p, N]
     prod = ring.dot_hat(a_hat[..., :, :, None, :], b_hat[..., None, :, :, :])
-    return ring.inv(ring.sum_hat(prod, axis=-3))
+    return ring.sum_to_centered(prod, axis=-3)
 
 
 def add(ring: RingContext, a, b):

@@ -28,14 +28,33 @@ def norm2_leq(x, bound: int, axis=-1):
     """Boolean array: integer-sqrt(sum x^2) <= bound, exactly.
 
     ``bound`` is a Python int (static). Matches BigUint isqrt comparison.
+
+    int64 inputs (wide rings, modulus >= 2^32) are handled by the
+    necessary-condition reduction: norm_2 >= max|coeff|, so any row with a
+    coefficient beyond ``bound`` rejects outright, and the survivors'
+    coefficients fit int32 exactly (bound < 2^31 is asserted -- every
+    sane parameter set's 4*sigma*sqrt(N) is far below it), where the
+    96-bit-accumulated exact compare applies unchanged. Adversarial
+    full-range int64 coefficients therefore cannot wrap anything.
     """
     limit = bound * bound + 2 * bound        # isqrt(S) <= B  <=>  S <= B^2+2B
     assert limit < 2**96
+    x = jnp.asarray(x)
+    if x.dtype == jnp.int64:
+        if bound >= 2**31:
+            raise ValueError(
+                f"wide-ring norm bound {bound} >= 2^31: the exact int32 "
+                "norm path cannot apply (check Params b/kappa vs N)"
+            )
+        coeff_ok = jnp.all(jnp.abs(x) <= bound, axis=axis)
+        x = jnp.clip(x, -bound, bound).astype(jnp.int32)
+    else:
+        coeff_ok = True
     l2 = jnp.uint32(limit >> 64)
     l1 = jnp.uint32((limit >> 32) & 0xFFFFFFFF)
     l0 = jnp.uint32(limit & 0xFFFFFFFF)
     s2, s1, s0 = norm2_squared(x, axis=axis)
-    return u64.le96(s2, s1, s0, l2, l1, l0)
+    return coeff_ok & u64.le96(s2, s1, s0, l2, l1, l0)
 
 
 def norm1(x, axis=-1):

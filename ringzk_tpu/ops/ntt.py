@@ -40,6 +40,16 @@ GENERATORS = (3, 11, 3)
 NUM_PRIMES = len(PRIMES)
 M_PROD = PRIMES[0] * PRIMES[1] * PRIMES[2]
 
+# Extension primes for WIDE rings (modulus >= 2^32, the reference's full
+# ZqI64 domain -- /root/reference/src/params.rs:18,121-127). All are
+# p = c * 2^s + 1 with s >= 23 and p < 2^31 (Shoup butterflies), appended
+# to PRIMES until the CRT range covers 2 * ACC_MAX * N * (q/2)^2; the
+# 8-prime product ~2^240 covers any odd q < 2^63 at any N <= 2^22.
+# Narrow rings (q < 2^32) always use exactly PRIMES -- bit-compat with the
+# committed transcript goldens.
+EXT_PRIMES = (469762049, 2013265921, 2130706433, 1811939329, 2113929217)
+EXT_GENERATORS = (3, 31, 3, 13, 5)
+
 
 def _use_pallas() -> bool:
     """Route NTT transforms through the fused Pallas kernel.
@@ -112,6 +122,11 @@ def _prime_tables(p: int, g: int, n: int):
     assert (p - 1) % (2 * n) == 0, f"prime {p} lacks 2N-th roots for N={n}"
     assert p < 2**31, "Shoup butterflies require p < 2^31"
     psi = pow(g, (p - 1) // (2 * n), p)
+    # order check: psi must be a primitive 2N-th root (psi^N == -1), which
+    # requires g to generate the full 2-Sylow subgroup -- guards the
+    # EXT_PRIMES generator table against a non-primitive entry (a wrong g
+    # would corrupt every transform silently)
+    assert pow(psi, n, p) == p - 1, f"generator {g} not primitive for {p}"
     psi_inv = pow(psi, -1, p)
     psi_rev = np.empty(n, dtype=np.uint32)
     psi_inv_rev = np.empty(n, dtype=np.uint32)
@@ -205,40 +220,111 @@ class RingContext:
     n: int
     q: int
 
-    def __post_init__(self):
-        if self.n & (self.n - 1) or self.n < 2:
-            raise ValueError(f"N must be a power of two >= 2, got {self.n}")
-        if self.q % 2 == 0 or self.q >= 2**32:
-            raise ValueError("q must be odd and < 2^32")
-        # Exactness bound: worst-case |integer conv coeff| <= N*(q/2)^2 per
-        # product term; callers may accumulate up to ACC_MAX terms.
-        if self.n * (self.q // 2 + 1) ** 2 * 16 * 2 > M_PROD:
-            raise ValueError("CRT bound exceeded; add primes or shrink N*q^2")
-
     # Max NTT-domain accumulation terms guaranteed exact (k-dim matvecs etc.)
     ACC_MAX = 16
 
+    def __post_init__(self):
+        if self.n & (self.n - 1) or self.n < 2:
+            raise ValueError(f"N must be a power of two >= 2, got {self.n}")
+        if self.q % 2 == 0 or self.q >= 2**63:
+            raise ValueError("q must be odd and < 2^63 (the ZqI64 domain)")
+        # Exactness bound: worst-case |integer conv coeff| <= N*(q/2)^2 per
+        # product term; callers may accumulate up to ACC_MAX terms. The
+        # prime-set property below sizes the CRT range to cover it (narrow
+        # rings use exactly PRIMES for golden-transcript compatibility).
+        bound = self.n * (self.q // 2 + 1) ** 2 * self.ACC_MAX * 2
+        if not self.wide:
+            if bound > M_PROD:
+                raise ValueError("CRT bound exceeded; add primes or shrink N*q^2")
+        else:
+            prod = 1
+            for p, _ in self._wide_prime_list():
+                prod *= p
+            if bound > prod:
+                raise ValueError(
+                    f"q={self.q} at N={self.n} exceeds the full CRT range"
+                )
+            import jax
+
+            if not jax.config.jax_enable_x64:
+                raise ValueError(
+                    "modulus >= 2^32 needs int64 arrays: enable jax x64 "
+                    "(jax.config.update('jax_enable_x64', True) or "
+                    "JAX_ENABLE_X64=1)"
+                )
+
+    @property
+    def wide(self) -> bool:
+        """True for moduli >= 2^32: centered residues are int64, the mod-q
+        fold runs on ops.mont64 uint32 limb pairs, and the prime set extends
+        past PRIMES as needed. The NTT domain itself is identical."""
+        return self.q >= 2**32
+
+    @property
+    def dtype(self):
+        return jnp.int64 if self.wide else jnp.int32
+
+    def _wide_prime_list(self):
+        bound = self.n * (self.q // 2 + 1) ** 2 * self.ACC_MAX * 2
+        out = []
+        prod = 1
+        for p, g in zip(PRIMES + EXT_PRIMES, GENERATORS + EXT_GENERATORS):
+            out.append((p, g))
+            prod *= p
+            if prod > bound:
+                break
+        return tuple(out)
+
+    @functools.cached_property
+    def primes(self):
+        """The ring's CRT prime set (== PRIMES for narrow rings)."""
+        if not self.wide:
+            return PRIMES
+        return tuple(p for p, _ in self._wide_prime_list())
+
+    @functools.cached_property
+    def generators(self):
+        if not self.wide:
+            return GENERATORS
+        return tuple(g for _, g in self._wide_prime_list())
+
+    @property
+    def num_primes(self) -> int:
+        return len(self.primes)
+
     @functools.cached_property
     def mont(self):
-        return tuple(MontCtx.make(p) for p in PRIMES)
+        return tuple(MontCtx.make(p) for p in self.primes)
 
     @functools.cached_property
     def qctx(self):
+        """Mod-q scalar context: MontCtx (uint32) for narrow rings,
+        Mont64Ctx (uint32 limb pairs) for wide ones. ops.zq dispatches."""
+        if self.wide:
+            from .mont64 import Mont64Ctx
+
+            return Mont64Ctx.make(self.q)
         return MontCtx.make(self.q)
 
     @functools.cached_property
     def _tables(self):
         return tuple(
-            _prime_tables(p, g, self.n) for p, g in zip(PRIMES, GENERATORS)
+            _prime_tables(p, g, self.n)
+            for p, g in zip(self.primes, self.generators)
         )
 
     def _garner(self, num: int):
         """Constants for Garner mixed-radix CRT over the first ``num`` primes
-        + final mod-q fold. Cached per subset size."""
+        + final mod-q fold. Cached per subset size.
+
+        Narrow rings: k_mont/m_mod_q are uint32 Montgomery constants.
+        Wide rings: k_mont entries are (lo, hi) Mont64 pairs (K_i * 2^64
+        mod q) and m_mod_q is a plain (lo, hi) pair -- ops.mont64 folds.
+        """
         cache = self.__dict__.setdefault("_garner_cache", {})
         if num in cache:
             return cache[num]
-        ps = PRIMES[:num]
+        ps = self.primes[:num]
         prod = 1
         for p in ps:
             prod *= p
@@ -256,10 +342,17 @@ class RingContext:
             half_digits.append(rem % p)
             rem //= p
             acc *= p
+        if self.wide:
+            m_mod_q = (
+                np.uint32((prod % q) & 0xFFFFFFFF),
+                np.uint32((prod % q) >> 32),
+            )
+        else:
+            m_mod_q = prod % q
         out = dict(
             c_mont=c_mont,
             k_mont=k_mont,
-            m_mod_q=prod % q,
+            m_mod_q=m_mod_q,
             half_digits=tuple(half_digits),
         )
         cache[num] = out
@@ -269,8 +362,9 @@ class RingContext:
     # Forward / inverse transforms
     # ------------------------------------------------------------------
 
-    def fwd(self, x, num: int = NUM_PRIMES):
-        """Centered int32 [..., N] -> plain NTT domain uint32 [num, ..., N].
+    def fwd(self, x, num: int | None = None):
+        """Centered int32/int64 [..., N] -> plain NTT domain uint32
+        [num, ..., N].
 
         Form discipline: *data* arrays stay in plain residue form; anything
         that multiplies data (keys, challenges d, scalars g, factors f) must
@@ -280,9 +374,13 @@ class RingContext:
 
         ``num`` selects a CRT prime subset for cheap products with small
         exact bounds (e.g. d*r with ternary operands fits one prime). The
-        caller must guarantee |integer coeff| < prod(PRIMES[:num]) / 2; use
+        caller must guarantee |integer coeff| < prod(primes[:num]) / 2; use
         :meth:`primes_needed` to pick num from a bound.
         """
+        if num is None:
+            num = self.num_primes
+        if self.wide:
+            return self._fwd_wide(x, num)
         if _use_pallas():
             from .pallas import ntt_kernel
 
@@ -297,17 +395,37 @@ class RingContext:
             outs.append(_fwd_one(ctx, jnp.asarray(w_fwd), xi))
         return jnp.stack(outs, axis=0)
 
-    def fwd_const(self, x, num: int = NUM_PRIMES):
+    def _fwd_wide(self, x, num: int):
+        """Wide-ring forward: centered int64 in, per-prime butterflies as
+        usual. The int64 -> mod-p reduction is limb-wise uint32 arithmetic
+        (x = lo + hi_signed * 2^32), never a 64-bit multiply."""
+        from .mont64 import Mont64Ctx
+
+        lo, hi = Mont64Ctx.split_i64(jnp.asarray(x, jnp.int64))
+        outs = []
+        for i in range(num):
+            ctx = self.mont[i]
+            w_fwd = self._tables[i][3]
+            shift = jnp.uint32(ctx.h_to_mont((1 << 32) % ctx.p))
+            xi = ctx.add(
+                ctx.reduce_u32(lo),
+                ctx.mont_mul(ctx.reduce_i32_centered(hi), shift),
+            )
+            outs.append(_fwd_one(ctx, jnp.asarray(w_fwd), xi))
+        return jnp.stack(outs, axis=0)
+
+    def fwd_const(self, x, num: int | None = None):
         """fwd() then per-prime to-Montgomery: the required form for the
         multiplicative operand of dot_hat/scalar muls."""
+        if num is None:
+            num = self.num_primes
         h = self.fwd(x, num)
         return jnp.stack([self.mont[i].to_mont(h[i]) for i in range(num)], axis=0)
 
-    @staticmethod
-    def primes_needed(bound: int) -> int:
+    def primes_needed(self, bound: int) -> int:
         """Smallest prime-subset size whose CRT range covers |coeff| <= bound."""
         prod = 1
-        for i, p in enumerate(PRIMES):
+        for i, p in enumerate(self.primes):
             prod *= p
             if prod > 2 * bound:
                 return i + 1
@@ -329,7 +447,7 @@ class RingContext:
         before the outer multiply, or reconstruction silently wraps mod M.
         """
         num = xhat.shape[0]
-        if _use_pallas():
+        if _use_pallas() and not self.wide:
             from .pallas import ntt_kernel
 
             return ntt_kernel.inv_all_pallas(self, xhat, interpret=_pallas_interpret())
@@ -341,8 +459,8 @@ class RingContext:
         return self._crt_to_centered(ys)
 
     def _crt_to_centered(self, ys):
-        """Garner reconstruction of [y mod p_i] -> centered int32 mod q,
-        for any prime-subset size len(ys) in 1..NUM_PRIMES."""
+        """Garner reconstruction of [y mod p_i] -> centered int32 (int64 for
+        wide rings) mod q, for any prime-subset size len(ys)."""
         num = len(ys)
         g = self._garner(num)
         # mixed-radix digits: x = v0 + v1*p0 + v2*p0*p1 + ..., 0 <= v_i < p_i
@@ -353,7 +471,7 @@ class RingContext:
             t = mi.sub(ys[i], mi.reduce_u32(vs[0]))
             acc_prod = 1
             for j in range(1, i):
-                acc_prod *= PRIMES[j - 1]
+                acc_prod *= self.primes[j - 1]
                 pj_mont = jnp.uint32(mi.h_to_mont(acc_prod % mi.p))
                 t = mi.sub(t, mi.mont_mul(mi.reduce_u32(vs[j]), pj_mont))
             vs.append(mi.mont_mul(t, jnp.uint32(g["c_mont"][i - 1])))
@@ -369,6 +487,23 @@ class RingContext:
 
         # x mod q = sum_i v_i * (prod_{j<i} p_j mod q)  -  [x>M/2]*(M mod q)
         qc = self.qctx
+        if self.wide:
+            # ops.mont64 fold on uint32 limb pairs (the only mod-q products
+            # outside the NTT domain; see ops/mont64.py module doc)
+            acc_lo, acc_hi = vs[0], jnp.zeros_like(vs[0])  # v0 < p0 < q
+            for i in range(1, num):
+                k_lo, k_hi = g["k_mont"][i - 1]
+                t_lo, t_hi = qc.redc_small(vs[i], k_lo, k_hi)
+                acc_lo, acc_hi = qc.add(acc_lo, acc_hi, t_lo, t_hi)
+            m_lo, m_hi = g["m_mod_q"]
+            z = jnp.uint32(0)
+            acc_lo, acc_hi = qc.sub(
+                acc_lo,
+                acc_hi,
+                jnp.where(gt, jnp.uint32(m_lo), z),
+                jnp.where(gt, jnp.uint32(m_hi), z),
+            )
+            return qc.to_centered_i64(acc_lo, acc_hi)
         acc = qc.reduce_u32(vs[0])
         for i in range(1, num):
             acc = qc.add(acc, qc.mont_mul(vs[i], jnp.uint32(g["k_mont"][i - 1])))
@@ -409,10 +544,20 @@ class RingContext:
 
         axis is counted over the trailing (non-P) dims of each per-prime slice,
         i.e. ``axis`` refers to the full [P, ...] array's axis index.
+
+        The axis length must be <= ACC_MAX: a longer accumulation of
+        depth-one products can exceed the CRT range and :meth:`inv` would
+        silently wrap mod M. Use :meth:`sum_to_centered` for arbitrary
+        lengths (chunked exact reduction).
         """
         axis = axis % a.ndim
         assert axis != 0, "cannot reduce the prime axis"
         size = a.shape[axis]
+        if size > self.ACC_MAX:
+            raise ValueError(
+                f"sum_hat over {size} terms exceeds ACC_MAX={self.ACC_MAX} "
+                "(CRT exactness); use sum_to_centered for chunked reduction"
+            )
         num = a.shape[0]
         out = jax.lax.index_in_dim(a, 0, axis, keepdims=False)
         for j in range(1, size):
@@ -422,12 +567,39 @@ class RingContext:
             )
         return out
 
+    def sum_to_centered(self, a, axis):
+        """Exact ``inv(sum(a, axis))`` for ANY axis length, centered int32.
+
+        Chunks the accumulation at ACC_MAX terms: each chunk's sum is
+        reconstructed exactly out of the NTT domain (Garner + mod q) and the
+        centered partials are added mod q -- removing the accumulation
+        ceiling the reference's `Mat::dot` / sum proof never had
+        (/root/reference/src/mat.rs:95-115, /root/reference/src/prove/sum.rs:106-120):
+        any contraction length k and any summand count VL are exact here.
+        For axis lengths <= ACC_MAX this is exactly inv(sum_hat(a, axis)).
+        """
+        from . import zq
+
+        axis = axis % a.ndim
+        assert axis != 0, "cannot reduce the prime axis"
+        size = a.shape[axis]
+        if size <= self.ACC_MAX:
+            return self.inv(self.sum_hat(a, axis))
+        out = None
+        for start in range(0, size, self.ACC_MAX):
+            stop = min(start + self.ACC_MAX, size)
+            part = self.inv(
+                self.sum_hat(jax.lax.slice_in_dim(a, start, stop, axis=axis), axis)
+            )
+            out = part if out is None else zq.add_centered(self.qctx, out, part)
+        return out
+
     # Convenience: full multiply of centered int32 polynomials
     def polymul(self, a, b):
         """Exact negacyclic product of centered int32 polys [..., N] mod q."""
         return self.inv(self.dot_hat(self.fwd_const(a), self.fwd(b)))
 
-    def scalar_mul_add(self, d, m, t, num: int = NUM_PRIMES):
+    def scalar_mul_add(self, d, m, t, num: int | None = None):
         """Fused ``t + d * m`` mod q, centered int32.
 
         d: [..., N] scalar polynomial broadcast over the rows of
@@ -448,9 +620,11 @@ class RingContext:
         tested) as the record of the attempt."""
         from . import zq
 
-        d = jnp.asarray(d, jnp.int32)
-        m = jnp.asarray(m, jnp.int32)
-        t = jnp.asarray(t, jnp.int32)
+        if num is None:
+            num = self.num_primes
+        d = jnp.asarray(d, self.dtype)
+        m = jnp.asarray(m, self.dtype)
+        t = jnp.asarray(t, self.dtype)
         # d broadcasts over any number of trailing structure axes of m
         # (rows; V summands x rows in the sum proof): flatten them to one
         nbatch = d.ndim - 1
@@ -467,7 +641,7 @@ class RingContext:
         mf = m.reshape(d.shape[:-1] + (-1, m.shape[-1]))
         tf = t.reshape(mf.shape)
         fused = os.environ.get("RINGZK_FUSED_SCALAR")
-        if fused in ("1", "2") and _use_pallas():
+        if fused in ("1", "2") and _use_pallas() and not self.wide:
             from .pallas import ntt_kernel
 
             fn = (
@@ -520,9 +694,28 @@ def get_ring(n: int, q: int) -> RingContext:
 
 # Pairwise-coprime 26-bit moduli for the exact golden-model convolution:
 # per-modulus int64 np.convolve cannot overflow (N * (2^26)^2 <= 2^62 for
-# N <= 1024... actually any N <= 2^10; larger N uses object fallback), and
-# their product ~2^78 exceeds twice the true coefficient bound N*(q/2)^2.
+# N <= 1024... actually any N <= 2^10; larger N uses object fallback).
+# _sb_moduli extends the set until the product covers twice the true
+# coefficient bound N*(q/2)^2 -- 3 moduli (~2^78) for the narrow q domain,
+# more for wide rings up to q < 2^63 (~2^135 at N=1024 needs 6).
 _SB_MODULI = (1 << 26, (1 << 26) - 1, (1 << 26) - 3)
+
+
+@functools.lru_cache(maxsize=None)
+def _sb_moduli(n: int, q: int):
+    import math
+
+    bound = 2 * n * (q // 2 + 1) ** 2
+    ms = list(_SB_MODULI)
+    prod = ms[0] * ms[1] * ms[2]
+    cand = (1 << 26) - 4
+    while prod <= bound:
+        if all(math.gcd(cand, m) == 1 for m in ms):
+            ms.append(cand)
+            prod *= cand
+        cand -= 1
+        assert cand > 1 << 25, "modulus pool exhausted"
+    return tuple(ms)
 
 
 def negacyclic_schoolbook(a, b, q):
@@ -530,7 +723,8 @@ def negacyclic_schoolbook(a, b, q):
     semantics of poly-ring-xnp1's `*` (x^N == -1), i.e. the reference's
     schoolbook multiply, but computed as CRT over int64 `np.convolve`
     passes so large-N goldens stay fast. Bit-for-bit identical results to
-    the naive O(N^2) object-int double loop (validated in tests)."""
+    the naive O(N^2) object-int double loop (validated in tests). Valid
+    for any odd q < 2^63 (the modulus set grows with the bound)."""
     a = np.asarray(a, dtype=object)
     b = np.asarray(b, dtype=object)
     n = a.shape[-1]
@@ -538,8 +732,10 @@ def negacyclic_schoolbook(a, b, q):
     af = np.broadcast_to(a, shape).reshape(-1, n)
     bf = np.broadcast_to(b, shape).reshape(-1, n)
 
-    ms = _SB_MODULI
-    prod_m = ms[0] * ms[1] * ms[2]
+    ms = _sb_moduli(n, q)
+    prod_m = 1
+    for m in ms:
+        prod_m *= m
     if n * max(ms) ** 2 >= 2**63:  # pragma: no cover - tests use N <= 1024
         raise ValueError(f"N={n} too large for the int64 CRT golden model")
     # CRT basis: e_i == 1 mod m_i, 0 mod m_j (Python ints, exact)

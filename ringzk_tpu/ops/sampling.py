@@ -57,15 +57,21 @@ def _use_pallas_select() -> bool:
 
 
 def uniform_centered(key, shape, n: int, bound: int):
-    """Uniform iid coefficients in [-bound, bound], int32 ``shape + (n,)``.
+    """Uniform iid coefficients in [-bound, bound], ``shape + (n,)``.
 
-    ``bound`` may be up to 2^31 - 2 (the default parameter set uses
-    bound = q//2 = 1757668526 for key generation).
+    int32 for bounds up to 2^31 - 2 (the default parameter set uses
+    bound = q//2 = 1757668526 for key generation); int64 draws above that
+    (wide rings, modulus >= 2^32 -- requires jax x64, which the wide
+    RingContext already enforces).
     """
-    if not 0 < bound <= 2**31 - 2:
-        raise ValueError(f"bound out of int32 range: {bound}")
+    if not 0 < bound <= 2**62:
+        raise ValueError(f"bound out of range: {bound}")
+    if bound <= 2**31 - 2:
+        return jax.random.randint(
+            key, shape + (n,), minval=-bound, maxval=bound + 1, dtype=jnp.int32
+        )
     return jax.random.randint(
-        key, shape + (n,), minval=-bound, maxval=bound + 1, dtype=jnp.int32
+        key, shape + (n,), minval=-bound, maxval=bound + 1, dtype=jnp.int64
     )
 
 

@@ -31,12 +31,18 @@ def to_centered(ctx: MontCtx, u):
     )
 
 
-def add_centered(ctx: MontCtx, a, b):
-    """(a + b) mod q on centered int32 operands, result centered."""
+def add_centered(ctx, a, b):
+    """(a + b) mod q on centered operands, result centered. ctx is a
+    MontCtx (int32 residues) or an ops.mont64.Mont64Ctx (int64 residues,
+    wide rings q >= 2^32) -- dispatched on ctx.is64."""
+    if getattr(ctx, "is64", False):
+        return ctx.add_centered_i64(a, b)
     return to_centered(ctx, ctx.add(to_unsigned(ctx, a), to_unsigned(ctx, b)))
 
 
-def sub_centered(ctx: MontCtx, a, b):
+def sub_centered(ctx, a, b):
+    if getattr(ctx, "is64", False):
+        return ctx.sub_centered_i64(a, b)
     return to_centered(ctx, ctx.sub(to_unsigned(ctx, a), to_unsigned(ctx, b)))
 
 

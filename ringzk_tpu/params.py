@@ -42,12 +42,23 @@ class Params:
     def validate(self) -> "Params":
         if not self.k > self.n >= self.l >= 1:
             raise ValueError(f"need k > n >= l >= 1, got k={self.k} n={self.n} l={self.l}")
-        if self.modulus % 2 == 0 or self.modulus >= 2**32:
-            raise ValueError("modulus must be odd and < 2^32")
+        if self.modulus % 2 == 0 or self.modulus >= 2**63:
+            raise ValueError(
+                "modulus must be odd and < 2^63 (the reference's ZqI64 "
+                "domain; moduli >= 2^32 use the wide int64 ring -- "
+                "ops/mont64.py -- and require jax x64)"
+            )
         if not 0 < self.q < self.modulus:
             raise ValueError("q (sampling bound) must be in (0, modulus)")
         if self.b < 1 or self.kappa < 1:
             raise ValueError("b and kappa must be >= 1")
+        if self.modulus >= 2**32 and self.b >= 2**20:
+            # wide rings route norm checks through the int32 exact path
+            # after a coefficient pre-check (ops/norms.py); the commit
+            # bound 4*sigma*sqrt(N) must stay < 2^31 for that to apply.
+            # sigma = 11*kappa*b*sqrt(kN), so gate b (the only field that
+            # can realistically push it over).
+            raise ValueError("b too large for exact wide-ring norm checks")
         return self
 
     # -- derived quantities (integer-exact, matching the Rust formulas) ----

@@ -61,14 +61,16 @@ def _pad_coeffs(obj, n_deg: int, modulus: int):
         out[..., : a.shape[-1]] = a
         return out
 
+    # wide rings (modulus >= 2^32) carry centered int64 residues
+    dtype = jnp.int64 if modulus >= 2**32 else jnp.int32
     a = np.asarray(obj, dtype=object)
     try:
         flat = np.asarray(obj, dtype=np.int64)
-        return jnp.asarray(pad_leaf(flat), jnp.int32)
+        return jnp.asarray(pad_leaf(flat), dtype)
     except (ValueError, TypeError):
         # ragged: pad each innermost vector
         stacked = np.stack([pad_leaf(v) for v in a])
-        return jnp.asarray(stacked, jnp.int32)
+        return jnp.asarray(stacked, dtype)
 
 
 class _ProverVerifierBase:

@@ -35,10 +35,33 @@ from ..utils.profiling import annotate
 # Largest ring degree for which the digitized MXU key operator is built.
 # Operator memory is KEY_DIGITS * kN * (n+l)N int8 (~126 MB at N=2048,
 # ~400 MB at N=4096) and grows as N^2 -- as does the matmul work, vs the
-# NTT path's N log N, so the digit engine's measured 2.3x win at N=2048
-# must shrink with N. RINGZK_MXU_MAX_N probes the boundary either way
-# (BENCHMARKS.md ring-degree scan records the crossover measurements).
-MXU_MAX_N = int(os.environ.get("RINGZK_MXU_MAX_N", "2048"))
+# NTT path's N log N, yet the digit engine still wins 1.75x at N=4096
+# (BENCHMARKS.md ring-degree scan). RINGZK_MXU_MAX_N probes the boundary
+# either way.
+
+
+def _default_mxu_max_n() -> int:
+    """Size-autodetected digit-engine cap (RINGZK_MXU_MAX_N overrides).
+
+    Directly-attached TPU / CPU: 4096 -- the measured 1.75x digit win at
+    N=4096 is on by default; the cap is the *memory* envelope (the N=8192
+    operator's int32 matmul intermediate OOMs a 16 GB chip). The N>=4096
+    program should pass the key as a jit ARGUMENT (not close over it), so
+    the ~400 MB operator ships as a device buffer rather than inline
+    program constants.
+
+    Tunneled axon backend (PALLAS_AXON_POOL_IPS set): 2048 -- closed-over
+    N=4096 operators exceed the tunnel's compile-payload limit (HTTP 413),
+    and even the argument-passed variant needs fetch-forced timing there
+    (BENCHMARKS.md timing-fidelity note). Set RINGZK_MXU_MAX_N=4096 to probe.
+    """
+    env = os.environ.get("RINGZK_MXU_MAX_N")
+    if env is not None:
+        return int(env)
+    return 2048 if os.environ.get("PALLAS_AXON_POOL_IPS") else 4096
+
+
+MXU_MAX_N = _default_mxu_max_n()
 
 
 def _use_mxu() -> bool:
@@ -108,11 +131,16 @@ def keygen(key, params: Params, n_deg: int, batch_shape=()) -> CommitmentKey:
     """Generate commitment key(s). batch_shape prefixes independent keys."""
     params.validate()
     ring = get_ring(n_deg, params.modulus)
+    if ring.wide and params.commit_bound(n_deg) >= 2**31:
+        raise ValueError(
+            f"commit bound {params.commit_bound(n_deg)} >= 2^31 at N={n_deg}: "
+            "wide-ring norm checks need int32-range bounds (ops/norms.py)"
+        )
     n, k, l, q = params.n, params.k, params.l, params.q
     k1, k2 = jax.random.split(key)
 
     def eye_poly(rows):
-        e = jnp.zeros((rows, rows, n_deg), jnp.int32)
+        e = jnp.zeros((rows, rows, n_deg), ring.dtype)
         return e.at[jnp.arange(rows), jnp.arange(rows), 0].set(1)
 
     a1p = sampling.uniform_centered(k1, batch_shape + (n, k - n), n_deg, q)
@@ -120,7 +148,7 @@ def keygen(key, params: Params, n_deg: int, batch_shape=()) -> CommitmentKey:
     a1 = jnp.concatenate([i_n, a1p], axis=-2)
 
     a2p = sampling.uniform_centered(k2, batch_shape + (l, k - n - l), n_deg, q)
-    z_ln = jnp.zeros(batch_shape + (l, n, n_deg), jnp.int32)
+    z_ln = jnp.zeros(batch_shape + (l, n, n_deg), ring.dtype)
     i_l = jnp.broadcast_to(eye_poly(l), batch_shape + (l, l, n_deg))
     a2 = jnp.concatenate([z_ln, i_l, a2p], axis=-2)
 
@@ -132,7 +160,10 @@ def keygen(key, params: Params, n_deg: int, batch_shape=()) -> CommitmentKey:
         _use_mxu()
         and batch_shape == ()
         and n_deg <= MXU_MAX_N
-        and k * n_deg * (conv_mxu.RADIX // 2) ** 2 < 2**31
+        # int32 accumulation capacity: per-plane sums are bounded by
+        # kN*(128)^2 and up to KEY_DIGITS planes share one shift group
+        # (conv_mxu.matvec_digits) -- the group total must stay < 2^31
+        and conv_mxu.KEY_DIGITS * k * n_deg * (conv_mxu.RADIX // 2) ** 2 < 2**31
         # KEY_DIGITS balanced digits must cover the key residues (bounded
         # by the sampling bound q). Moduli above 2*2,139,062,143+1 -- i.e.
         # within ~16.8M of 2^32 -- exceed the 4-digit capacity
@@ -220,7 +251,7 @@ def matvec_key(ring: RingContext, ck: CommitmentKey, which: str, v, bound: int):
         vc = jnp.clip(v, -bound, bound)
         return conv_mxu.matvec_digits(ring, dig, rows, vc, ndig)
     a_hat = ck.a1_hat if which == "a1" else ck.a2_hat
-    return ring.inv(mat.matvec_hat(ring, a_hat, ring.fwd(v)))
+    return mat.matvec(ring, a_hat, ring.fwd(v))
 
 
 def _stacked_level() -> int:
@@ -242,8 +273,19 @@ def _stacked_level() -> int:
         (linear commit 5,905/9,481 vs 4,901/5,739; verify 5,711/6,006 vs
         4,814/4,768 -- merging removes the two-matmul overlap XLA schedules
         itself, the RINGZK_FUSED_A failure mode). Kept for re-measurement
-        on other TPU generations."""
-    return int(os.environ.get("RINGZK_STACKED", "1"))
+        on other TPU generations.
+
+    Like every RINGZK_* engine flag, read at *trace* time: a jit-cached
+    prover/verifier keeps whichever level was active when it first traced,
+    so benchmark A/Bs must use a fresh process per setting (BENCHMARKS.md).
+    """
+    raw = os.environ.get("RINGZK_STACKED", "1")
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"RINGZK_STACKED must be an integer level (0/1/2), got {raw!r}"
+        ) from None
 
 
 def stack_siblings_ok(ck: CommitmentKey, bound: int, level: int = 1) -> bool:

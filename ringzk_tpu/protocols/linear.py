@@ -163,7 +163,7 @@ def verify(
     g_hat = ring.fwd_const(vctx.g)
     # c1*d terms: wire values are int32, d is kappa-sparse ternary; t is
     # added in the integer domain afterwards (skips its forward transform)
-    num_d = ring.primes_needed(min(params.kappa, n_deg) * 2**31)
+    num_d = ring.primes_needed(min(params.kappa, n_deg) * (ring.q // 2 + 1))
 
     def t_plus_c1d(t, c1):
         return ring.scalar_mul_add(vctx.d, c1, t, num_d)

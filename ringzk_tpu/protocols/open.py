@@ -157,7 +157,7 @@ def verify(
     # -> |integer coeffs| <= min(kappa,N)*2^31, inside a 2-prime subset.
     # t is then added in the integer domain (one centered mod-q add),
     # skipping its forward transform entirely -- fused with the product.
-    num = ring.primes_needed(min(params.kappa, n_deg) * 2**31)
+    num = ring.primes_needed(min(params.kappa, n_deg) * (ring.q // 2 + 1))
     rhs = ring.scalar_mul_add(vctx.d, vctx.c1, vctx.t, num)
     return ok_norm & mat.poly_equal(lhs, rhs, struct_axes=1)
 

@@ -88,8 +88,11 @@ class SumProofResponse(NamedTuple):
 
 
 def _sum_v(ring, hat, v_axis):
-    """addmod-reduce an NTT-domain stack over the summand axis."""
-    return ring.sum_hat(hat, v_axis)
+    """Exact mod-q reduce of an NTT-domain product stack over the summand
+    axis -> centered int32. Chunked past ACC_MAX terms (ring.sum_to_centered),
+    so ANY summand count VL is exact -- parity with the reference's
+    unbounded loop (/root/reference/src/prove/sum.rs:106-120)."""
+    return ring.sum_to_centered(hat, v_axis)
 
 
 def _matvec_key_v1(ring, ck: CommitmentKey, vs, vp, bound: int):
@@ -118,8 +121,6 @@ def prover_commit(key, ck: CommitmentKey, gs, xs, params: Params):
     if gs.shape[-2] != xs.shape[-3] or gs.shape[-2] < 1:
         raise ValueError(f"gs/xs summand axes disagree: {gs.shape} vs {xs.shape}")
     vl = gs.shape[-2]
-    if vl + 1 > 16:
-        raise ValueError("VL too large for exact CRT accumulation")
     n_deg = xs.shape[-1]
     ring = get_ring(n_deg, params.modulus)
     k_cp, k_cs, k_ys, k_yp = jax.random.split(key, 4)
@@ -127,9 +128,9 @@ def prover_commit(key, ck: CommitmentKey, gs, xs, params: Params):
 
     gs_hat = ring.fwd_const(gs)
 
-    # xp = sum_i g_i * x_i  (single-depth products, V-term accumulation)
+    # xp = sum_i g_i * x_i  (single-depth products, chunked V-term reduce)
     gx_hat = mat.scalar_mul_hat(ring, gs_hat, ring.fwd(xs))  # [P, ..., V, l, N]
-    xp = ring.inv(_sum_v(ring, gx_hat, v_axis=-3))           # [..., l, N]
+    xp = _sum_v(ring, gx_hat, v_axis=-3)                     # [..., l, N]
 
     opening_p, cp = commit(k_cp, ck, xp, params)
     openings, cs = commit(k_cs, ck, xs, params)  # batched over V
@@ -146,7 +147,7 @@ def prover_commit(key, ck: CommitmentKey, gs, xs, params: Params):
 
     # u = sum_i g_i*(a2.y_i) - a2.yp  (depth-one: a2.y_i reduced mod q)
     gay = mat.scalar_mul_hat(ring, gs_hat, ring.fwd(a2ys))    # [P, ..., V, l, N]
-    u = zq.sub_centered(ring.qctx, ring.inv(_sum_v(ring, gay, v_axis=-3)), a2yp)
+    u = zq.sub_centered(ring.qctx, _sum_v(ring, gay, v_axis=-3), a2yp)
 
     return (
         SumProofResponseContext(openings=openings, opening_p=opening_p, yp=yp, ys=ys),
@@ -212,7 +213,7 @@ def verify(
     gs_hat = ring.fwd_const(vctx.gs)
     # c1*d products only ride the NTT; t terms are added in the integer
     # domain afterwards (skips their forward transforms)
-    num_d = ring.primes_needed(min(params.kappa, n_deg) * 2**31)
+    num_d = ring.primes_needed(min(params.kappa, n_deg) * (ring.q // 2 + 1))
 
     # each of zs, zp needs both a1.* and a2.*: one fused full-key matvec each
     azs, azp = _matvec_key_v1(ring, ck, zs, zp, vbound)
@@ -229,16 +230,15 @@ def verify(
     # sum_i g_i*(a2.z_i) - a2.zp == (sum_i g_i*c2_i - c2p)*d + u
     lhs = zq.sub_centered(
         ring.qctx,
-        ring.inv(
-            _sum_v(ring, mat.scalar_mul_hat(ring, gs_hat, ring.fwd(a2zs)), v_axis=-3)
-        ),
+        _sum_v(ring, mat.scalar_mul_hat(ring, gs_hat, ring.fwd(a2zs)), v_axis=-3),
         a2zp,
     )
-    gc2 = ring.inv(
-        ring.sub_hat(
-            _sum_v(ring, mat.scalar_mul_hat(ring, gs_hat, ring.fwd(vctx.c2s)), v_axis=-3),
-            ring.fwd(vctx.c2p),
-        )
+    # c2p is subtracted in the integer domain (skips its forward transform;
+    # identical mod-q value to the old in-NTT sub_hat formulation)
+    gc2 = zq.sub_centered(
+        ring.qctx,
+        _sum_v(ring, mat.scalar_mul_hat(ring, gs_hat, ring.fwd(vctx.c2s)), v_axis=-3),
+        vctx.c2p,
     )
     rhs = ring.scalar_mul_add(vctx.d, gc2, vctx.u, num_d)
     eq3 = mat.poly_equal(lhs, rhs, struct_axes=1)

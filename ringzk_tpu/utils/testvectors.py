@@ -73,11 +73,9 @@ def check_rust_vector(vec: dict) -> dict:
     zfull = jnp.concatenate(
         [jnp.zeros((params.n, n_deg), jnp.int32), x], axis=0
     )
-    c = ring.inv(
-        ring.add_hat(mat.matvec_hat(ring, a_hat, ring.fwd(r)), ring.fwd(zfull))
-    )
+    c = zq.add_centered(ring.qctx, mat.matvec(ring, a_hat, ring.fwd(r)), zfull)
     # t = a1.y
-    t = ring.inv(mat.matvec_hat(ring, a1_hat, ring.fwd(y)))
+    t = mat.matvec(ring, a1_hat, ring.fwd(y))
     # z = y + d*r
     dr = ring.inv(mat.scalar_mul_hat(ring, ring.fwd_const(d), ring.fwd(r)))
     z = zq.add_centered(ring.qctx, y, dr)
@@ -88,7 +86,7 @@ def check_rust_vector(vec: dict) -> dict:
         "z": np.array_equal(np.asarray(z), np.asarray(vec["z"], np.int64)),
     }
     # verifier algebra: a1.z == t + c1*d
-    lhs = ring.inv(mat.matvec_hat(ring, a1_hat, ring.fwd(z)))
+    lhs = mat.matvec(ring, a1_hat, ring.fwd(z))
     c1 = c[: params.n]
     rhs = ring.inv(
         ring.add_hat(
@@ -138,19 +136,17 @@ def check_rust_vector_linear(vec: dict) -> dict:
         zfull = jnp.concatenate(
             [jnp.zeros((params.n, n_deg), jnp.int32), xv], axis=0
         )
-        return ring.inv(
-            ring.add_hat(
-                mat.matvec_hat(ring, a_hat, ring.fwd(rv)), ring.fwd(zfull)
-            )
+        return zq.add_centered(
+            ring.qctx, mat.matvec(ring, a_hat, ring.fwd(rv)), zfull
         )
 
     gx = ring.inv(mat.scalar_mul_hat(ring, g_hat, ring.fwd(x)))
     c = commit_value(x, r)
     cp = commit_value(gx, rp)
-    t = ring.inv(mat.matvec_hat(ring, a1_hat, ring.fwd(y)))
-    tp = ring.inv(mat.matvec_hat(ring, a1_hat, ring.fwd(yp)))
-    a2y = ring.inv(mat.matvec_hat(ring, a2_hat, ring.fwd(y)))
-    a2yp = ring.inv(mat.matvec_hat(ring, a2_hat, ring.fwd(yp)))
+    t = mat.matvec(ring, a1_hat, ring.fwd(y))
+    tp = mat.matvec(ring, a1_hat, ring.fwd(yp))
+    a2y = mat.matvec(ring, a2_hat, ring.fwd(y))
+    a2yp = mat.matvec(ring, a2_hat, ring.fwd(yp))
     u = zq.sub_centered(
         ring.qctx, ring.inv(mat.scalar_mul_hat(ring, g_hat, ring.fwd(a2y))), a2yp
     )
@@ -171,8 +167,8 @@ def check_rust_vector_linear(vec: dict) -> dict:
                 np.asarray(got), np.asarray(vec[name], np.int64)
             )
     # verifier relation: g*(a2.z) - a2.zp == (g*c2 - c2p)*d + u
-    a2z = ring.inv(mat.matvec_hat(ring, a2_hat, ring.fwd(z)))
-    a2zp = ring.inv(mat.matvec_hat(ring, a2_hat, ring.fwd(zp)))
+    a2z = mat.matvec(ring, a2_hat, ring.fwd(z))
+    a2zp = mat.matvec(ring, a2_hat, ring.fwd(zp))
     lhs = zq.sub_centered(
         ring.qctx, ring.inv(mat.scalar_mul_hat(ring, g_hat, ring.fwd(a2z))), a2zp
     )
@@ -222,27 +218,23 @@ def check_rust_vector_sum(vec: dict) -> dict:
             [jnp.zeros(xv.shape[:-2] + (params.n, n_deg), jnp.int32), xv],
             axis=-2,
         )
-        return ring.inv(
-            ring.add_hat(
-                mat.matvec_hat(ring, a_hat, ring.fwd(rv)), ring.fwd(zfull)
-            )
+        return zq.add_centered(
+            ring.qctx, mat.matvec(ring, a_hat, ring.fwd(rv)), zfull
         )
 
-    xp = ring.inv(
-        ring.sum_hat(mat.scalar_mul_hat(ring, gs_hat, ring.fwd(xs)), axis=-3)
+    xp = ring.sum_to_centered(
+        mat.scalar_mul_hat(ring, gs_hat, ring.fwd(xs)), axis=-3
     )
     cs = commit_value(xs, rs)
     cp = commit_value(xp, rp)
-    ts = ring.inv(mat.matvec_hat(ring, a1_hat, ring.fwd(ys)))
-    tp = ring.inv(mat.matvec_hat(ring, a1_hat, ring.fwd(yp)))
-    a2ys = ring.inv(mat.matvec_hat(ring, a2_hat, ring.fwd(ys)))
-    a2yp = ring.inv(mat.matvec_hat(ring, a2_hat, ring.fwd(yp)))
+    ts = mat.matvec(ring, a1_hat, ring.fwd(ys))
+    tp = mat.matvec(ring, a1_hat, ring.fwd(yp))
+    a2ys = mat.matvec(ring, a2_hat, ring.fwd(ys))
+    a2yp = mat.matvec(ring, a2_hat, ring.fwd(yp))
     u = zq.sub_centered(
         ring.qctx,
-        ring.inv(
-            ring.sum_hat(
-                mat.scalar_mul_hat(ring, gs_hat, ring.fwd(a2ys)), axis=-3
-            )
+        ring.sum_to_centered(
+            mat.scalar_mul_hat(ring, gs_hat, ring.fwd(a2ys)), axis=-3
         ),
         a2yp,
     )

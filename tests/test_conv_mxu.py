@@ -1,6 +1,8 @@
 """MXU digit-matmul matvec must agree bit-for-bit with the NTT path, and
 prime-subset NTT products must stay exact within their declared bounds."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -69,10 +71,10 @@ def test_mxu_matvec_full_range_key_small_v(ring, rng):
 # -- prime-subset NTT --------------------------------------------------------
 
 
-def test_primes_needed():
-    assert ntt.RingContext.primes_needed(36) == 1
-    assert ntt.RingContext.primes_needed(2**36) == 2
-    assert ntt.RingContext.primes_needed(2**70) == 3
+def test_primes_needed(ring):
+    assert ring.primes_needed(36) == 1
+    assert ring.primes_needed(2**36) == 2
+    assert ring.primes_needed(2**70) == 3
 
 
 @pytest.mark.parametrize("num", [1, 2, 3])
@@ -176,3 +178,63 @@ def test_fused_full_key_matvec_bit_identical():
         want = _ntt_matvec(ring, a.astype(np.int64), np.asarray(v))
         np.testing.assert_array_equal(fused, split)
         np.testing.assert_array_equal(fused, want)
+
+
+def test_argkey_jit_bit_identical_n4096():
+    """The N=4096 digit engine (on by default off-tunnel since round 4:
+    commit._default_mxu_max_n) must be bit-identical whether the key is
+    CLOSED OVER by jit (operators baked as program constants -- the variant
+    that trips the axon tunnel's compile payload) or passed as a jit
+    ARGUMENT (the deployment-recommended form at N>=4096), and must match
+    the NTT key path. CPU-executed; pins the BENCHMARKS.md crossover
+    claim's correctness leg."""
+    import ringzk_tpu as rz
+    from conftest import env_override
+    from ringzk_tpu.protocols import commit as commit_mod
+
+    params = rz.Params()
+    n_deg = 4096
+    ring = ntt.get_ring(n_deg, params.modulus)
+    saved = commit_mod.MXU_MAX_N
+    try:
+        commit_mod.MXU_MAX_N = 4096
+        ck = commit_mod.keygen(jax.random.PRNGKey(3), params, n_deg)
+        assert ck.a1_dig is not None
+    finally:
+        commit_mod.MXU_MAX_N = saved
+    with env_override("RINGZK_MXU", "0"):
+        ck_ntt = commit_mod.keygen(jax.random.PRNGKey(3), params, n_deg)
+    assert ck_ntt.a1_dig is None
+
+    bound = params.verify_bound(n_deg)
+    v = jax.random.randint(
+        jax.random.PRNGKey(4), (1, params.k, n_deg), -bound, bound + 1, jnp.int32
+    )
+    closed = jax.jit(
+        lambda v: commit_mod.matvec_key(ring, ck, "a", v, bound)
+    )(v)
+    argkey = jax.jit(
+        lambda ck, v: commit_mod.matvec_key(ring, ck, "a", v, bound)
+    )(ck, v)
+    via_ntt = commit_mod.matvec_key(ring, ck_ntt, "a", v, bound)
+    np.testing.assert_array_equal(np.asarray(closed), np.asarray(argkey))
+    np.testing.assert_array_equal(np.asarray(closed), np.asarray(via_ntt))
+
+
+def test_mxu_max_n_autodetect():
+    """_default_mxu_max_n: 2048 under the tunnel env, 4096 off it,
+    RINGZK_MXU_MAX_N always wins."""
+    from conftest import env_override
+    from ringzk_tpu.protocols import commit as commit_mod
+
+    with env_override("PALLAS_AXON_POOL_IPS", "10.0.0.1"):
+        assert commit_mod._default_mxu_max_n() == 2048
+        with env_override("RINGZK_MXU_MAX_N", "4096"):
+            assert commit_mod._default_mxu_max_n() == 4096
+    prev = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    try:
+        os.environ.pop("RINGZK_MXU_MAX_N", None)
+        assert commit_mod._default_mxu_max_n() == 4096
+    finally:
+        if prev is not None:
+            os.environ["PALLAS_AXON_POOL_IPS"] = prev

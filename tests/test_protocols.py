@@ -217,6 +217,11 @@ def test_stacked_sibling_matvec_bit_identical(ck):
     sum.py:_matvec_key_v1)."""
     from conftest import env_override
 
+    # the stacked path requires the digit engine (stack_siblings_ok); without
+    # operators both arms take the identical per-vector path and this test
+    # would pass vacuously
+    assert ck.a1_dig is not None and ck.a2_dig is not None
+
     def linear_transcript():
         kg, kx, kp, kc = jax.random.split(jax.random.PRNGKey(21), 4)
         g, x = rand_g(kg, (6,)), rand_x(kx, (6,))
