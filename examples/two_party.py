@@ -88,7 +88,9 @@ def main():
         pcom = open_mod.OpenProofCommitment(
             c=rz.Commitment(c=jnp.asarray(pcom_d["c.c"])), t=jnp.asarray(pcom_d["t"])
         )
-        vctx, chal = open_mod.generate_challenge(jax.random.PRNGKey(99), pcom, params)
+        # the challenge key is the soundness-critical draw: OS-entropy
+        # seeded (rz.fresh_key), never a constant, never prover-derivable
+        vctx, chal = open_mod.generate_challenge(rz.fresh_key(), pcom, params)
         send(child.stdin, serial.dumps(chal))                       # move 2
         resp_d = serial.loads(recv(child.stdout))                   # move 3
         resp = open_mod.OpenProofResponse(z=jnp.asarray(resp_d["z"]))

@@ -12,6 +12,7 @@ Opening, and the 7-type family for each of the three sigma protocols.
 """
 
 from .params import Params, DEFAULT_PARAMS
+from .rng import fresh_key
 from .protocols.commit import Commitment, CommitmentKey, Opening, commit, keygen, verify
 from .protocols.api import (
     LinearProofProver,
@@ -83,5 +84,6 @@ __all__ = [
     "open_proof",
     "linear_proof",
     "sum_proof",
+    "fresh_key",
 ]
 __version__ = "0.1.0"

@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Analytic roofline for the headline open-proof program (no device needed).
+
+Micro-benchmarks on the axon-tunneled backend measure dispatch/memory
+behavior rather than sustained compute (scripts/calibrate_vpu.py records
+physically impossible op/s), so no *measured* %-of-peak is trustworthy here.
+This model takes the opposite, measurement-free route the roofline question
+actually allows: the per-proof work of the headline program is STATICALLY
+countable, so dividing the measured end-to-end proofs/s through it yields
+the implied device throughput for each unit class -- an *upper bound* on
+how far the program can be from each roofline (the true utilization of each
+unit is at least the implied fraction, since the catalog undercounts:
+dispatch gaps, layout ops, and XLA bookkeeping are all uncounted).
+
+Work classes:
+  * int8 MXU MACs -- EXACT: the four digit matvecs' matmul shapes
+    (ops/conv_mxu.py; [dv*B, kN] @ [kN, KEY_DIGITS*rows*N]).
+  * NTT butterflies -- EXACT: transforms x primes x (N/2)log2(N)
+    (ops/ntt.py; scalar_mul_add call sites in protocols/open.py).
+  * VPU lane-ops -- ESTIMATED: per-pass uint32 op counts for every
+    elementwise stage (sampling, digit split/fold, butterfly arithmetic,
+    Garner, norms), with the per-element multipliers stated inline.
+  * HBM bytes -- ESTIMATED floor: major arrays in/out per fused program,
+    operators amortized over the batch.
+
+Peaks (TPU v5e -- `jax.devices()[0].device_kind == "TPU v5 lite"` here):
+  394 int8 TOPS and 197 bf16 TFLOPS per chip, 819 GB/s HBM (published
+  Cloud TPU v5e specs). VPU peak is not published; we derive the MXU-
+  consistent clock (197e12 / (4 MXUs * 2*128*128) = 1.50 GHz) and apply
+  the 8x128-lane x 4-ALU VPU shape per TensorCore => ~6.3e12 lane-ops/s
+  (marked approximate in the output).
+
+Usage: python scripts/roofline_model.py [--proofs-per-s 474800] [--batch 8192]
+Default proofs/s is the round-4 fresh-measured band floor (BENCHMARKS.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+from ringzk_tpu.ops import conv_mxu  # noqa: E402
+from ringzk_tpu.params import Params  # noqa: E402
+
+# -- v5e peaks ---------------------------------------------------------------
+INT8_PEAK_OPS = 394e12          # published, ops/s (1 MAC = 2 ops)
+HBM_PEAK_GBS = 819.0            # published
+VPU_CLOCK = 197e12 / (4 * 2 * 128 * 128)   # MXU-consistent clock ~1.50 GHz
+VPU_PEAK_OPS = 8 * 128 * 4 * VPU_CLOCK     # ~6.3e12 lane-ops/s (approx)
+
+
+def primes_needed(bound: int) -> int:
+    from ringzk_tpu.ops.ntt import get_ring
+    from ringzk_tpu.params import DEFAULT_MODULUS
+
+    return get_ring(512, DEFAULT_MODULUS).primes_needed(bound)
+
+
+def open_proof_work(params: Params, n_deg: int) -> dict:
+    """Static per-proof work of open_proof.roundtrip (B==1)."""
+    n, k, l, b = params.n, params.k, params.l, params.b
+    rows_a = n + l
+    kn = k * n_deg
+    sigma = params.standard_deviation(n_deg)
+    gbound = 16 * sigma                       # protocols/open.py gaussian_bound
+    cb = params.commit_bound(n_deg)
+    vb = params.verify_bound(n_deg)
+    D = conv_mxu.KEY_DIGITS
+    dig = conv_mxu.digits_for_bound
+
+    # ---- MXU MACs (exact): [dv, kN] @ [kN, D*rows*N] per matvec ----
+    def matvec_macs(vdig: int, rows: int) -> int:
+        return vdig * kn * D * rows * n_deg
+
+    mxu = {
+        "commit A.r": matvec_macs(dig(b), rows_a),
+        "prover t=a1.y": matvec_macs(dig(gbound), n),
+        "opening-verify A.r": matvec_macs(dig(cb), rows_a),
+        "verify a1.z": matvec_macs(dig(vb), n),
+    }
+
+    # ---- NTT butterflies (exact) ----
+    logn = n_deg.bit_length() - 1
+    bfly_per_transform = (n_deg // 2) * logn
+    num_resp = primes_needed(min(params.kappa, n_deg) * b)
+    num_ver = primes_needed(min(params.kappa, n_deg) * 2**31)
+    # scalar_mul_add(d, m, t): fwd_const(d)=1 poly, fwd(m)=rows polys,
+    # inv=rows polys, each x num primes
+    resp_transforms = (1 + 2 * k) * num_resp       # z = y + d*r  (m rows = k)
+    ver_transforms = (1 + 2 * n) * num_ver         # rhs = t + c1*d (m rows = n)
+    ntt = {
+        "response (num=%d)" % num_resp: resp_transforms * bfly_per_transform,
+        "verify rhs (num=%d)" % num_ver: ver_transforms * bfly_per_transform,
+    }
+
+    # ---- VPU lane-ops (estimates; multiplier rationale inline) ----
+    MONT = 10        # mont_mul, p < 2^31 (ops/montgomery.py: 2 mul_wide + ...)
+    MONT_Q = 14      # mont_mul with carry tracking, p >= 2^31 (the q fold)
+    RED_I32 = MONT_Q + 4   # reduce_i32_centered: REDC + sign correction
+    ADD_C = 10       # zq.add_centered: 2x to_unsigned + add + to_centered
+    BFLY_ELT = 15    # per element per stage: partner rolls/selects + shoup(7)
+    vpu = {}
+    # sampling (rbg bits + arithmetic)
+    vpu["sample r (randint)"] = k * n_deg * 8
+    vpu["sample y (normal+round+clip)"] = k * n_deg * 25
+    vpu["challenge d (uniform+select+signs)"] = n_deg * 40
+    # digit decompositions: ~4 ops per digit per element
+    vpu["digit splits"] = kn * 4 * (dig(b) + dig(gbound) + dig(cb) + dig(vb))
+    # digit folds: per shift-group element: int32 plane add (~1) +
+    # reduce_i32_centered + mont_mul(q) + running add (~3)
+    def fold_ops(vdig: int, rows: int) -> int:
+        groups = vdig + D - 1
+        return groups * rows * n_deg * (1 + RED_I32 + MONT_Q + 3)
+
+    vpu["digit folds"] = (
+        fold_ops(dig(b), rows_a)
+        + fold_ops(dig(gbound), n)
+        + fold_ops(dig(cb), rows_a)
+        + fold_ops(dig(vb), n)
+    )
+    # butterfly arithmetic: N lanes active per stage
+    total_transform_elts = (resp_transforms + ver_transforms) * n_deg * logn
+    vpu["ntt butterflies"] = total_transform_elts * BFLY_ELT
+    # pointwise products + to_mont of d + Garner/centered reduction
+    vpu["ntt pointwise+garner"] = (
+        num_resp * (n_deg * MONT + kn * MONT + kn * (RED_I32 + 6))
+        + num_ver * (n_deg * MONT + n * n_deg * MONT)
+        + n * n_deg * (2 * MONT + MONT_Q + 20)   # 2-prime Garner fold
+    )
+    # centered adds: z=y+dr [k,N]; rhs=t+c1d [n,N]; commit c [n+l,N]; opv rhs
+    vpu["centered adds"] = ADD_C * n_deg * (k + n + 2 * rows_a)
+    # norms: square (mul_wide 2) + 96-bit limb accumulation (~6) x two passes
+    vpu["norm checks (r, z)"] = 2 * kn * 8
+    # equality reduces: lhs==rhs over [n,N] + opening [n+l,N]
+    vpu["poly_equal"] = (n + rows_a) * n_deg * 2
+
+    # ---- HBM bytes (floor): fused-program in/out arrays, int32 ----
+    hbm = 4 * n_deg * (
+        l            # x in
+        + k          # r (kept for opening verify)
+        + k          # y
+        + rows_a     # c
+        + n          # t
+        + k          # z
+    ) + kn * (dig(b) + dig(gbound) + dig(cb) + dig(vb))  # int8 digit planes
+
+    return {
+        "mxu_macs": mxu,
+        "ntt_butterflies": ntt,
+        "vpu_lane_ops": vpu,
+        "hbm_bytes": hbm,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--proofs-per-s", type=float, default=474800.0,
+                    help="measured end-to-end rate (round-4 band floor)")
+    ap.add_argument("--n", type=int, default=512)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    params = Params()
+    w = open_proof_work(params, args.n)
+    macs = sum(w["mxu_macs"].values())
+    bflies = sum(w["ntt_butterflies"].values())
+    vpu_ops = sum(w["vpu_lane_ops"].values())
+    r = args.proofs_per_s
+
+    implied = {
+        "int8_ops_per_s": 2 * macs * r,
+        "butterflies_per_s": bflies * r,
+        "vpu_lane_ops_per_s": vpu_ops * r,
+        "hbm_gbs": w["hbm_bytes"] * r / 1e9,
+    }
+    fractions = {
+        "mxu_int8_fraction_of_peak": implied["int8_ops_per_s"] / INT8_PEAK_OPS,
+        "vpu_fraction_of_peak(approx)": implied["vpu_lane_ops_per_s"] / VPU_PEAK_OPS,
+        "hbm_fraction_of_peak": implied["hbm_gbs"] / HBM_PEAK_GBS,
+    }
+
+    if args.json:
+        print(json.dumps({"work": w, "implied": implied, "fractions": fractions}))
+        return
+
+    print(f"Open-proof roundtrip, N={args.n}, defaults {params}")
+    print(f"measured rate: {r:,.0f} proofs/s\n")
+    print("per-proof work (EXACT):")
+    for name, v in w["mxu_macs"].items():
+        print(f"  MXU  {name:24s} {v/1e6:8.2f} M int8 MACs")
+    print(f"  MXU  {'TOTAL':24s} {macs/1e6:8.2f} M int8 MACs")
+    for name, v in w["ntt_butterflies"].items():
+        print(f"  NTT  {name:24s} {v:8,d} butterflies")
+    print("\nper-proof VPU lane-ops (ESTIMATED, multipliers in source):")
+    for name, v in w["vpu_lane_ops"].items():
+        print(f"  VPU  {name:28s} {v/1e3:8.1f} k ops")
+    print(f"  VPU  {'TOTAL':28s} {vpu_ops/1e3:8.1f} k ops")
+    print(f"  HBM  array-traffic floor        {w['hbm_bytes']/1e3:8.1f} kB")
+    print("\nimplied device throughput at the measured rate "
+          "(= lower bound on each unit's true utilization):")
+    print(f"  MXU: {implied['int8_ops_per_s']/1e12:6.1f} int8 TOPS  = "
+          f"{100*fractions['mxu_int8_fraction_of_peak']:5.1f}% of v5e 394 TOPS")
+    print(f"  NTT: {implied['butterflies_per_s']/1e9:6.2f} G butterflies/s")
+    print(f"  VPU: {implied['vpu_lane_ops_per_s']/1e12:6.2f}e12 lane-ops/s = "
+          f"{100*fractions['vpu_fraction_of_peak(approx)']:5.1f}% of ~"
+          f"{VPU_PEAK_OPS/1e12:.1f}e12 (approx peak)")
+    print(f"  HBM: {implied['hbm_gbs']:6.1f} GB/s          = "
+          f"{100*fractions['hbm_fraction_of_peak']:5.1f}% of 819 GB/s")
+    print("""
+reading: the program is nowhere near any single-unit roofline -- consistent
+with its profile: ~30 small dispatches per roundtrip over a tunneled chip,
+MXU and VPU phases serialized at far-sub-peak occupancy per dispatch. The
+headroom statement is the point: at these counts, speed-of-light for the
+counted work alone (binding unit's roofline) would be ~{:.1f}M proofs/s; dispatch
+structure, not arithmetic, is what the next order of magnitude costs.""".format(
+        min(
+            INT8_PEAK_OPS / (2 * macs),
+            VPU_PEAK_OPS / vpu_ops,
+            HBM_PEAK_GBS * 1e9 / w["hbm_bytes"],
+        ) / 1e6
+    ))
+
+
+if __name__ == "__main__":
+    main()

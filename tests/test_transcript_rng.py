@@ -62,3 +62,22 @@ def test_fill_bytes_is_le_word_stream():
     got = rng.fill_bytes(10)
     want = struct.pack("<3I", *words)[:10]
     assert got == want
+
+
+def test_fresh_key_entropy_and_shape():
+    """fresh_key: valid jax.random key (usable by split/normal), distinct
+    across calls (OS entropy), and domain-separated by `extra`."""
+    import jax
+    import numpy as np
+
+    import ringzk_tpu as rz
+
+    k1, k2 = rz.fresh_key(), rz.fresh_key()
+    assert k1.shape == jax.random.PRNGKey(0).shape
+    assert not np.array_equal(np.asarray(k1), np.asarray(k2))
+    # usable downstream
+    a, b = jax.random.split(k1)
+    assert a.shape == k1.shape
+    # extra acts as domain separation on top of the entropy words
+    k3 = rz.fresh_key(extra=7)
+    assert k3.shape == k1.shape
