@@ -125,6 +125,12 @@ class SpRing(RingContext):
         super().__post_init__()
         if self.mesh is None:
             raise ValueError("SpRing requires a mesh")
+        if self.wide:
+            raise ValueError(
+                "SpRing does not support wide moduli (q >= 2^32): the "
+                "sharded transform programs are int32-native; use the "
+                "unsharded wide ring (large-N wide rings fit single-chip)"
+            )
         n_dev = self.mesh.shape[self.axis]
         n_loc = self.n // n_dev
         if self.n % n_dev or n_loc & (n_loc - 1) or n_loc < 2:

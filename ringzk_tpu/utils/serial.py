@@ -32,8 +32,15 @@ import numpy as np
 
 _MAGIC = b"RZK1"
 _VERSION = 1
-_DTYPES = {0: np.int32, 1: np.uint32, 2: np.bool_}
-_DTYPE_CODES = {np.dtype(np.int32): 0, np.dtype(np.uint32): 1, np.dtype(np.bool_): 2}
+# code 3 (int64) carries wide-ring residues (modulus >= 2^32); RAW-encoded
+# only -- the varint path (and its C codec) stays int32-native
+_DTYPES = {0: np.int32, 1: np.uint32, 2: np.bool_, 3: np.int64}
+_DTYPE_CODES = {
+    np.dtype(np.int32): 0,
+    np.dtype(np.uint32): 1,
+    np.dtype(np.bool_): 2,
+    np.dtype(np.int64): 3,
+}
 
 RAW = 0
 TRIMMED_VARINT = 1

@@ -211,12 +211,15 @@ def main():
     print(f"  HBM: {implied['hbm_gbs']:6.1f} GB/s          = "
           f"{100*fractions['hbm_fraction_of_peak']:5.1f}% of 819 GB/s")
     print("""
-reading: the program is nowhere near any single-unit roofline -- consistent
-with its profile: ~30 small dispatches per roundtrip over a tunneled chip,
-MXU and VPU phases serialized at far-sub-peak occupancy per dispatch. The
-headroom statement is the point: at these counts, speed-of-light for the
-counted work alone (binding unit's roofline) would be ~{:.1f}M proofs/s; dispatch
-structure, not arithmetic, is what the next order of magnitude costs.""".format(
+reading: the program is nowhere near any single-unit roofline. The batch
+roundtrip runs as ONE fused XLA program, so the gap is intra-program: the
+3-move protocol's data dependencies serialize MXU matvec phases against
+VPU transform/sampling phases (neither unit works while the other's phase
+runs), and each phase's ops run at sub-peak occupancy on small tiles. The
+headroom statement is the point: speed-of-light for the counted work alone
+(binding unit's roofline) would be ~{:.1f}M proofs/s -- schedule overlap
+and occupancy, not faster arithmetic, is where the next order of
+magnitude lives.""".format(
         min(
             INT8_PEAK_OPS / (2 * macs),
             VPU_PEAK_OPS / vpu_ops,

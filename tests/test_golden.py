@@ -31,13 +31,24 @@ GOLDEN_SETS = {
     "default": PARAMS,
     "q15_32749": rz.Params(q=32749 // 2, modulus=32749),
     "q32_2p32m5": rz.Params(q=4294967291 // 2, modulus=4294967291),
+    # wide ring (int64 residues, extended CRT set, mont64 fold): transcript
+    # determinism must hold across the q >= 2^32 engine too
+    "q33_wide": rz.Params(q=(2**33 + 9) // 2, modulus=2**33 + 9),
 }
 
 
 def build_transcript(params=PARAMS):
+    if params.modulus >= 2**32:
+        with jax.enable_x64(True):
+            return _build_transcript_body(params)
+    return _build_transcript_body(params)
+
+
+def _build_transcript_body(params):
+    dtype = jnp.int64 if params.modulus >= 2**32 else jnp.int32
     kk, kx, kp, kc = jax.random.split(jax.random.PRNGKey(20260817), 4)
     ck = rz.keygen(kk, params, N)
-    x = jax.random.randint(kx, (2, params.l, N), -params.q, params.q + 1, dtype=jnp.int32)
+    x = jax.random.randint(kx, (2, params.l, N), -params.q, params.q + 1, dtype=dtype)
     rctx, pcom = open_mod.prover_commit(kp, ck, x, params)
     vctx, chal = open_mod.generate_challenge(kc, pcom, params)
     resp = open_mod.create_response(rctx, chal, params)
