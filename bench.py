@@ -122,6 +122,16 @@ def main():
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--full", action="store_true")
+    ap.add_argument(
+        "--chains",
+        type=int,
+        default=1,
+        help="split the batch into C independent roundtrip chains inside "
+        "one jit (open only): the chains share no data, so XLA may overlap "
+        "one chain's MXU matvec phases with another's VPU transform phases "
+        "across the protocol's sequential dependency walls. Same total "
+        "work and per-proof semantics; each chain draws its own key.",
+    )
     args = ap.parse_args()
 
     from ringzk_tpu import Params, keygen
@@ -145,9 +155,31 @@ def main():
 
     if args.protocol == "open":
         x = rand_poly(kx, (b, params.l, n_deg))
-        step = jax.jit(lambda k, x: open_mod.roundtrip(k, ck, x, params))
-        fargs = (kp, x)
-        label = f"verified open proofs/s per chip (N={n_deg}, batch={b})"
+        if args.chains > 1:
+            c = args.chains
+            assert b % c == 0
+            xc = x.reshape(c, b // c, params.l, n_deg)
+
+            def chained(k, xc):
+                outs = [
+                    open_mod.roundtrip(ki, ck, xc[i], params)
+                    for i, ki in enumerate(jax.random.split(k, c))
+                ]
+                return (
+                    jnp.concatenate([o[0] for o in outs]),
+                    jnp.concatenate([o[1] for o in outs]),
+                )
+
+            step = jax.jit(chained)
+            fargs = (kp, xc)
+            label = (
+                f"verified open proofs/s per chip (N={n_deg}, batch={b}, "
+                f"chains={c})"
+            )
+        else:
+            step = jax.jit(lambda k, x: open_mod.roundtrip(k, ck, x, params))
+            fargs = (kp, x)
+            label = f"verified open proofs/s per chip (N={n_deg}, batch={b})"
     elif args.protocol == "linear":
         x = rand_poly(kx, (b, params.l, n_deg))
         g = rand_poly(kg, (b, n_deg))

@@ -173,11 +173,21 @@ def matvec_digits(ring: RingContext, w_digits, rows: int, v, v_digits: int):
             p = prod[dv, :, dw]
             groups[s] = p if groups[s] is None else groups[s] + p
 
-    # fold digit groups mod q: out = sum_s G_s * RADIX^s
+    # fold digit groups mod q: out = sum_s G_s * RADIX^s. One REDC per
+    # group element: mont_mul is exact for ANY uint32 left operand, so the
+    # two's-complement bits of the int32 group sum feed it directly
+    # (u = g + 2^32*[g<0]) and the negative-lane excess is removed with a
+    # precomputed (2^32 * RADIX^s mod q) conditional subtract -- replacing
+    # the old reduce_i32_centered + mont_mul chain (two REDCs). Bit-
+    # identical by construction (same value mod q; tests/test_conv_mxu.py).
     acc = None
     for s, g in enumerate(groups):
-        gu = qc.reduce_i32_centered(g)
-        term = qc.mont_mul(gu, jnp.uint32(_shift_mont(ring, s)))
+        u = jax.lax.bitcast_convert_type(g, jnp.uint32)
+        term = qc.mont_mul(u, jnp.uint32(_shift_mont(ring, s)))
+        corr = jnp.where(
+            g < 0, jnp.uint32(_shift_neg_corr(ring, s)), jnp.uint32(0)
+        )
+        term = qc.sub(term, corr)
         acc = term if acc is None else qc.add(acc, term)
     out = ring.to_centered(acc)
     return out.reshape(batch + (rows, n))
@@ -188,6 +198,15 @@ def _shift_mont(ring: RingContext, s: int) -> int:
     cache = ring.__dict__.setdefault("_shift_mont_cache", {})
     if s not in cache:
         cache[s] = ring.qctx.h_to_mont(pow(RADIX, s, ring.q))
+    return cache[s]
+
+
+def _shift_neg_corr(ring: RingContext, s: int) -> int:
+    """(2^32 * RADIX^s) mod q: the excess a negative int32 group sum's
+    two's-complement bits contribute through the single-REDC fold."""
+    cache = ring.__dict__.setdefault("_shift_neg_corr_cache", {})
+    if s not in cache:
+        cache[s] = (pow(2, 32, ring.q) * pow(RADIX, s, ring.q)) % ring.q
     return cache[s]
 
 

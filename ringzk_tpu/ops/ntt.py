@@ -18,7 +18,10 @@ every NTT-domain array and is itself shardable across devices (a tensor-
 parallel axis; see ringzk_tpu.parallel).
 
 Shapes: a polynomial batch is ``[..., N]`` int32 (centered residues); its
-NTT-domain image is ``[P, ..., N]`` uint32.
+NTT-domain image is ``[P, ..., N]`` uint32. Wide rings (modulus >= 2^32,
+the reference's full ZqI64 domain) carry int64 residues externally and
+extend the prime axis -- see :class:`RingContext.wide` and ops/mont64.py;
+the NTT domain itself is identical.
 """
 
 from __future__ import annotations

@@ -30,8 +30,8 @@ Peaks (TPU v5e -- `jax.devices()[0].device_kind == "TPU v5 lite"` here):
   the 8x128-lane x 4-ALU VPU shape per TensorCore => ~6.3e12 lane-ops/s
   (marked approximate in the output).
 
-Usage: python scripts/roofline_model.py [--proofs-per-s 474800] [--batch 8192]
-Default proofs/s is the round-4 fresh-measured band floor (BENCHMARKS.md).
+Usage: python scripts/roofline_model.py [--proofs-per-s 517163] [--batch 8192]
+Default proofs/s is the round-4 headline (BENCHMARKS.md).
 """
 
 from __future__ import annotations
@@ -110,11 +110,13 @@ def open_proof_work(params: Params, n_deg: int) -> dict:
     vpu["challenge d (uniform+select+signs)"] = n_deg * 40
     # digit decompositions: ~4 ops per digit per element
     vpu["digit splits"] = kn * 4 * (dig(b) + dig(gbound) + dig(cb) + dig(vb))
-    # digit folds: per shift-group element: int32 plane add (~1) +
-    # reduce_i32_centered + mont_mul(q) + running add (~3)
+    # digit folds (round-4 single-REDC form, ops/conv_mxu.py): per
+    # shift-group element: int32 plane add (~1) + one mont_mul(q) on the
+    # raw two's-complement bits + sign-correction select/sub (~3) +
+    # running add (~3)
     def fold_ops(vdig: int, rows: int) -> int:
         groups = vdig + D - 1
-        return groups * rows * n_deg * (1 + RED_I32 + MONT_Q + 3)
+        return groups * rows * n_deg * (1 + MONT_Q + 3 + 3)
 
     vpu["digit folds"] = (
         fold_ops(dig(b), rows_a)
@@ -158,8 +160,8 @@ def open_proof_work(params: Params, n_deg: int) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--proofs-per-s", type=float, default=474800.0,
-                    help="measured end-to-end rate (round-4 band floor)")
+    ap.add_argument("--proofs-per-s", type=float, default=517163.0,
+                    help="measured end-to-end rate (round-4 headline)")
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
