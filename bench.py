@@ -125,14 +125,19 @@ def main():
     ap.add_argument(
         "--chains",
         type=int,
-        default=1,
+        default=None,
         help="split the batch into C independent roundtrip chains inside "
-        "one jit (open only): the chains share no data, so XLA may overlap "
+        "one jit (open only): the chains share no data, so XLA overlaps "
         "one chain's MXU matvec phases with another's VPU transform phases "
         "across the protocol's sequential dependency walls. Same total "
-        "work and per-proof semantics; each chain draws its own key.",
+        "work and per-proof semantics; each chain draws its own key. "
+        "Default 2 for open (measured +7.9%; saturates there -- chains=4 "
+        "measured the same), 1 otherwise. --chains 1 restores the single "
+        "chain.",
     )
     args = ap.parse_args()
+    if args.chains is None:
+        args.chains = 2 if args.protocol == "open" else 1
 
     from ringzk_tpu import Params, keygen
     from ringzk_tpu.protocols import linear as linear_mod
@@ -154,32 +159,14 @@ def main():
         )
 
     if args.protocol == "open":
+        c = args.chains
         x = rand_poly(kx, (b, params.l, n_deg))
-        if args.chains > 1:
-            c = args.chains
-            assert b % c == 0
-            xc = x.reshape(c, b // c, params.l, n_deg)
-
-            def chained(k, xc):
-                outs = [
-                    open_mod.roundtrip(ki, ck, xc[i], params)
-                    for i, ki in enumerate(jax.random.split(k, c))
-                ]
-                return (
-                    jnp.concatenate([o[0] for o in outs]),
-                    jnp.concatenate([o[1] for o in outs]),
-                )
-
-            step = jax.jit(chained)
-            fargs = (kp, xc)
-            label = (
-                f"verified open proofs/s per chip (N={n_deg}, batch={b}, "
-                f"chains={c})"
-            )
-        else:
-            step = jax.jit(lambda k, x: open_mod.roundtrip(k, ck, x, params))
-            fargs = (kp, x)
-            label = f"verified open proofs/s per chip (N={n_deg}, batch={b})"
+        step = jax.jit(
+            lambda k, x: open_mod.roundtrip(k, ck, x, params, chains=c)
+        )
+        fargs = (kp, x)
+        suffix = f", chains={c}" if c > 1 else ""
+        label = f"verified open proofs/s per chip (N={n_deg}, batch={b}{suffix})"
     elif args.protocol == "linear":
         x = rand_poly(kx, (b, params.l, n_deg))
         g = rand_poly(kg, (b, n_deg))

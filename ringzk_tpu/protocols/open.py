@@ -162,15 +162,42 @@ def verify(
     return ok_norm & mat.poly_equal(lhs, rhs, struct_axes=1)
 
 
-def roundtrip(key, ck: CommitmentKey, x, params: Params):
+def roundtrip(key, ck: CommitmentKey, x, params: Params, chains: int = 1):
     """Full 3-phase protocol in one jit-able call (prover + verifier).
 
     Returns (ok, opening_ok): the sigma-protocol acceptance and the direct
     commitment-opening check, both bool [...]. This is the reference's
     integration-test loop body (/root/reference/tests/test.rs:11-31) as a
     single batched program -- and the unit of the headline benchmark.
+
+    ``chains`` splits the leading batch axis into that many INDEPENDENT
+    sub-chains inside the same program (each drawing its own derived key).
+    The 3-move protocol's data dependencies serialize its MXU matvec
+    phases against its VPU transform/sampling phases; independent chains
+    give XLA's scheduler cross-chain overlap across those walls -- a
+    measured +7.9% at the headline config (557.96k vs 517.2k proofs/s,
+    chains=2, batch 8192; chains=4 measured the same 558.9k, so the
+    benefit saturates at 2 -- BENCHMARKS.md "Round-4 headline"). Identical
+    per-proof semantics and work; the random draws differ from the
+    unchained call (each chain consumes its own key split).
     """
     from . import commit as commit_mod
+
+    if chains > 1:
+        if x.ndim < 3 or x.shape[0] % chains:
+            raise ValueError(
+                f"chains={chains} needs a leading batch axis divisible by it"
+                f" (x shape {x.shape})"
+            )
+        xc = x.reshape((chains, x.shape[0] // chains) + x.shape[1:])
+        outs = [
+            roundtrip(ki, ck, xc[i], params)
+            for i, ki in enumerate(jax.random.split(key, chains))
+        ]
+        return (
+            jnp.concatenate([o[0] for o in outs]),
+            jnp.concatenate([o[1] for o in outs]),
+        )
 
     k1, k2 = jax.random.split(key)
     rctx, pcom = prover_commit(k1, ck, x, params)

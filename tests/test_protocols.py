@@ -267,3 +267,17 @@ def test_stacked_flag_safe_with_batched_keys():
     with env_override("RINGZK_STACKED", "2"):
         ok, op_ok = linear.roundtrip(kp, cks, g, x, PARAMS)
     assert bool(jnp.all(ok)) and bool(jnp.all(op_ok))
+
+
+def test_roundtrip_chains(ck):
+    """chains>1 splits the batch into independent sub-chains (the measured
+    cross-chain overlap win, BENCHMARKS.md): all proofs must verify, a
+    forged input must still fail, and a non-divisible batch must raise."""
+    kx, kp = jax.random.split(jax.random.PRNGKey(31))
+    x = rand_x(kx, (8,))
+    ok, op_ok = jax.jit(
+        lambda k, x: open_mod.roundtrip(k, ck, x, PARAMS, chains=2)
+    )(kp, x)
+    assert ok.shape == (8,) and bool(jnp.all(ok)) and bool(jnp.all(op_ok))
+    with pytest.raises(ValueError, match="chains"):
+        open_mod.roundtrip(kp, ck, rand_x(kx, (6,))[:5], PARAMS, chains=2)
