@@ -315,6 +315,35 @@ def matvec_key_siblings(ring: RingContext, ck: CommitmentKey, vs, bound: int):
     return [matvec_key(ring, ck, "a", v, bound) for v in vs]
 
 
+def chained_roundtrip(fn, key, inputs, chains: int):
+    """Run ``fn(key_i, *input_slices)`` over ``chains`` independent splits
+    of the leading batch axis and concatenate the (ok, op_ok) pairs.
+
+    The 3-move protocols' data dependencies serialize MXU matvec phases
+    against VPU transform/sampling phases inside one program; independent
+    chains give XLA cross-chain overlap across those walls (measured +7.9%
+    on the open headline, saturating at chains=2 -- BENCHMARKS.md). Same
+    per-proof semantics and work; each chain consumes its own derived key.
+    """
+    b = inputs[0].shape[0]
+    if any(a.ndim < 2 or a.shape[0] != b for a in inputs) or b % chains:
+        raise ValueError(
+            f"chains={chains} needs a shared leading batch axis divisible "
+            f"by it (shapes {[a.shape for a in inputs]})"
+        )
+    split = [
+        a.reshape((chains, b // chains) + a.shape[1:]) for a in inputs
+    ]
+    outs = [
+        fn(ki, *(a[i] for a in split))
+        for i, ki in enumerate(jax.random.split(key, chains))
+    ]
+    return (
+        jnp.concatenate([o[0] for o in outs]),
+        jnp.concatenate([o[1] for o in outs]),
+    )
+
+
 def commit_ok(params: Params, n_deg: int, r) -> jax.Array:
     """Commit constraint: every polynomial r_i has ||r_i||_2 <= 4 sigma
     sqrt(N) (/root/reference/src/params.rs:102-108). r: [..., k, N] ->

@@ -196,11 +196,18 @@ def verify(
     return ok & eq1 & eq2 & eq3
 
 
-def roundtrip(key, ck: CommitmentKey, g, x, params: Params):
+def roundtrip(key, ck: CommitmentKey, g, x, params: Params, chains: int = 1):
     """Full 3-phase linear proof (the reference's integration loop body,
-    /root/reference/tests/test.rs:34-56) as one batched program."""
+    /root/reference/tests/test.rs:34-56) as one batched program.
+
+    ``chains`` splits the leading batch axis into independent sub-chains
+    for cross-chain MXU/VPU overlap (see commit.chained_roundtrip)."""
     from . import commit as commit_mod
 
+    if chains > 1:
+        return commit_mod.chained_roundtrip(
+            lambda k, gc, xc: roundtrip(k, ck, gc, xc, params), key, (g, x), chains
+        )
     k1, k2 = jax.random.split(key)
     rctx, pcom = prover_commit(k1, ck, g, x, params)
     op_ok = commit_mod.verify(ck, pcom.c, rctx.opening, params)

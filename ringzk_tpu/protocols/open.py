@@ -184,19 +184,8 @@ def roundtrip(key, ck: CommitmentKey, x, params: Params, chains: int = 1):
     from . import commit as commit_mod
 
     if chains > 1:
-        if x.ndim < 3 or x.shape[0] % chains:
-            raise ValueError(
-                f"chains={chains} needs a leading batch axis divisible by it"
-                f" (x shape {x.shape})"
-            )
-        xc = x.reshape((chains, x.shape[0] // chains) + x.shape[1:])
-        outs = [
-            roundtrip(ki, ck, xc[i], params)
-            for i, ki in enumerate(jax.random.split(key, chains))
-        ]
-        return (
-            jnp.concatenate([o[0] for o in outs]),
-            jnp.concatenate([o[1] for o in outs]),
+        return commit_mod.chained_roundtrip(
+            lambda k, xc: roundtrip(k, ck, xc, params), key, (x,), chains
         )
 
     k1, k2 = jax.random.split(key)

@@ -246,11 +246,18 @@ def verify(
     return ok & eq1 & eq2 & eq3
 
 
-def roundtrip(key, ck: CommitmentKey, gs, xs, params: Params):
+def roundtrip(key, ck: CommitmentKey, gs, xs, params: Params, chains: int = 1):
     """Full 3-phase sum proof (the reference's integration loop body,
-    /root/reference/tests/test.rs:59-93) as one batched program."""
+    /root/reference/tests/test.rs:59-93) as one batched program.
+
+    ``chains`` splits the leading batch axis into independent sub-chains
+    for cross-chain MXU/VPU overlap (see commit.chained_roundtrip)."""
     from . import commit as commit_mod
 
+    if chains > 1:
+        return commit_mod.chained_roundtrip(
+            lambda k, g, x: roundtrip(k, ck, g, x, params), key, (gs, xs), chains
+        )
     k1, k2 = jax.random.split(key)
     rctx, pcom = prover_commit(k1, ck, gs, xs, params)
     op_ok = commit_mod.verify(ck, pcom.cp, rctx.opening_p, params)

@@ -281,3 +281,15 @@ def test_roundtrip_chains(ck):
     assert ok.shape == (8,) and bool(jnp.all(ok)) and bool(jnp.all(op_ok))
     with pytest.raises(ValueError, match="chains"):
         open_mod.roundtrip(kp, ck, rand_x(kx, (6,))[:5], PARAMS, chains=2)
+
+    kg = jax.random.PRNGKey(32)
+    g = rand_g(kg, (8,))
+    okl, opl = linear.roundtrip(kp, ck, g, x, PARAMS, chains=2)
+    assert okl.shape == (8,) and bool(jnp.all(okl)) and bool(jnp.all(opl))
+
+    gs = jax.random.randint(kg, (8, 2, N), -PARAMS.q, PARAMS.q + 1, jnp.int32)
+    xs = jax.random.randint(
+        kx, (8, 2, PARAMS.l, N), -PARAMS.q, PARAMS.q + 1, jnp.int32
+    )
+    oks, ops = sum_mod.roundtrip(kp, ck, gs, xs, PARAMS, chains=2)
+    assert oks.shape == (8,) and bool(jnp.all(oks)) and bool(jnp.all(ops))
