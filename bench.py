@@ -127,7 +127,7 @@ def main():
         type=int,
         default=None,
         help="split the batch into C independent roundtrip chains inside "
-        "one jit (open only): the chains share no data, so XLA overlaps "
+        "one jit (any protocol): the chains share no data, so XLA overlaps "
         "one chain's MXU matvec phases with another's VPU transform phases "
         "across the protocol's sequential dependency walls. Same total "
         "work and per-proof semantics; each chain draws its own key. "
@@ -168,18 +168,27 @@ def main():
         suffix = f", chains={c}" if c > 1 else ""
         label = f"verified open proofs/s per chip (N={n_deg}, batch={b}{suffix})"
     elif args.protocol == "linear":
+        c = args.chains
         x = rand_poly(kx, (b, params.l, n_deg))
         g = rand_poly(kg, (b, n_deg))
-        step = jax.jit(lambda k, g, x: linear_mod.roundtrip(k, ck, g, x, params))
+        step = jax.jit(
+            lambda k, g, x: linear_mod.roundtrip(k, ck, g, x, params, chains=c)
+        )
         fargs = (kp, g, x)
-        label = f"verified linear proofs/s per chip (N={n_deg}, batch={b})"
+        suffix = f", chains={c}" if c > 1 else ""
+        label = f"verified linear proofs/s per chip (N={n_deg}, batch={b}{suffix})"
     else:
+        c = args.chains
         xs = rand_poly(kx, (b, SUM_VL, params.l, n_deg))
         gs = rand_poly(kg, (b, SUM_VL, n_deg))
-        step = jax.jit(lambda k, gs, xs: sum_mod.roundtrip(k, ck, gs, xs, params))
+        step = jax.jit(
+            lambda k, gs, xs: sum_mod.roundtrip(k, ck, gs, xs, params, chains=c)
+        )
         fargs = (kp, gs, xs)
+        suffix = f", chains={c}" if c > 1 else ""
         label = (
-            f"verified sum proofs/s per chip (N={n_deg}, VL={SUM_VL}, batch={b})"
+            f"verified sum proofs/s per chip (N={n_deg}, VL={SUM_VL}, "
+            f"batch={b}{suffix})"
         )
 
     dt, window_dts = _time_fn(step, fargs, args.iters)

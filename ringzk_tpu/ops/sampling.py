@@ -151,7 +151,14 @@ def challenge_draws(key, shape, n: int):
         signs = 1 - 2 * (u_full & jnp.uint32(1)).astype(jnp.int32)
         return signs, u_full >> jnp.uint32(1)
     ksign, kperm = jax.random.split(key)
-    signs = jax.random.rademacher(ksign, shape + (n,), dtype=jnp.int32)
+    # explicit float32 p: jax.random.rademacher routes through
+    # bernoulli(p=0.5) whose draw dtype follows lax.dtype(p) -- a Python
+    # float canonicalizes to float64 under jax x64, silently changing the
+    # sign bitstream (and every committed transcript golden). Pinning p to
+    # float32 reproduces the x32 rademacher bit-for-bit in BOTH modes
+    # (tests/test_golden.py::test_transcript_digests_x64_invariant).
+    bern = jax.random.bernoulli(ksign, jnp.float32(0.5), shape + (n,))
+    signs = 2 * bern.astype(jnp.int32) - 1
     u = jax.random.bits(kperm, shape + (n,), dtype=jnp.uint32)
     return signs, u
 

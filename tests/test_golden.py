@@ -71,6 +71,18 @@ def test_transcript_digests_stable(name):
     assert got == want, f"transcript drift ({name}):\n got={got}\nwant={want}"
 
 
+def test_transcript_digests_x64_invariant():
+    """Enabling jax x64 (required for wide rings) must not change narrow
+    transcripts: every sampler draw dtype is pinned (the rademacher
+    p=0.5 float-canonicalization trap, ops/sampling.challenge_draws).
+    Guards users who flip x64 globally and every mixed narrow/wide run."""
+    with open(GOLDEN_PATH) as f:
+        want = json.load(f)["default"]
+    with jax.enable_x64(True):
+        got = _build_transcript_body(PARAMS)
+    assert got == want, f"x64 transcript drift:\n got={got}\nwant={want}"
+
+
 if __name__ == "__main__":
     os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
     out = {name: build_transcript(p) for name, p in GOLDEN_SETS.items()}
