@@ -144,9 +144,29 @@ class KeyOperator:
         )
 
 
+def _use_pallas_matvec() -> bool:
+    """RINGZK_PALLAS_MATVEC=1 routes VMEM-resident digit matvecs through
+    the fused Pallas kernel (ops/pallas/matvec_kernel.py): digits + int8
+    MXU dots + mod-q fold in one kernel, eliminating the int32 plane
+    intermediate XLA materializes in HBM between its matmul and the fold
+    (~0.9 GB/headline-batch across the four matvecs). Bit-identical
+    (tests/test_pallas.py). Default OFF pending the on-chip end-to-end
+    A/B; read at trace time like every RINGZK_* flag."""
+    import os
+
+    return os.environ.get("RINGZK_PALLAS_MATVEC", "0") == "1"
+
+
 def matvec_digits(ring: RingContext, w_digits, rows: int, v, v_digits: int):
     """Digit-matmul negacyclic matvec against a prebuilt [kN, D*rowsN]
     int8 operator (see KeyOperator). Exact mod-q, centered int32 result."""
+    if _use_pallas_matvec():
+        from .pallas import matvec_kernel, pallas_interpret
+
+        if matvec_kernel.matvec_fits(w_digits, v.shape[-1]):
+            return matvec_kernel.matvec_digits_pallas(
+                ring, w_digits, rows, v, v_digits, interpret=pallas_interpret()
+            )
     qc = ring.qctx
     kn = w_digits.shape[0]
     n = v.shape[-1]

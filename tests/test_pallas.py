@@ -5,6 +5,7 @@ bench/micro-bench scripts)."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from ringzk_tpu.ops import ntt
@@ -211,3 +212,40 @@ def test_pallas_challenge_select_signkey_mode():
     )
     np.testing.assert_array_equal(got, want)
     assert (np.abs(got).sum(-1) == 36).all()
+
+
+def test_pallas_matvec_kernel_bit_identical():
+    """The fused digit-matvec kernel (RINGZK_PALLAS_MATVEC=1; interpret
+    mode on CPU) must equal the XLA matmul+fold path bit for bit, across
+    digit counts and both key matrices, incl. through a full roundtrip."""
+    from conftest import env_override
+    from ringzk_tpu import Params, keygen
+    from ringzk_tpu.ops.ntt import get_ring
+    from ringzk_tpu.ops.pallas.matvec_kernel import matvec_fits
+    from ringzk_tpu.protocols import open as open_mod
+    from ringzk_tpu.protocols.commit import matvec_key
+
+    params = Params()
+    n_deg = 512  # the kernel gate needs lane-aligned shapes
+    ring = get_ring(n_deg, params.modulus)
+    ck = keygen(jax.random.PRNGKey(40), params, n_deg)
+    assert ck.a1_dig is not None and matvec_fits(ck.a1_dig, n_deg)
+
+    for which, bound in [("a1", 1), ("a1", 10**6), ("a", 1), ("a", 10**6)]:
+        v = jax.random.randint(
+            jax.random.PRNGKey(41), (3, params.k, n_deg), -bound, bound + 1,
+            jnp.int32,
+        )
+        with env_override("RINGZK_PALLAS_MATVEC", "1"):
+            got = matvec_key(ring, ck, which, v, bound)
+        with env_override("RINGZK_PALLAS_MATVEC", "0"):
+            want = matvec_key(ring, ck, which, v, bound)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    x = jax.random.randint(
+        jax.random.PRNGKey(42), (2, params.l, n_deg), -params.q, params.q + 1,
+        jnp.int32,
+    )
+    with env_override("RINGZK_PALLAS_MATVEC", "1"):
+        ok, op_ok = open_mod.roundtrip(jax.random.PRNGKey(43), ck, x, params)
+    assert bool(jnp.all(ok)) and bool(jnp.all(op_ok))
