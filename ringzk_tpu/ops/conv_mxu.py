@@ -31,6 +31,8 @@ Replaces the reference's `Mat::dot` O(N^2) schoolbook hot loop
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -193,21 +195,33 @@ def matvec_digits(ring: RingContext, w_digits, rows: int, v, v_digits: int):
             p = prod[dv, :, dw]
             groups[s] = p if groups[s] is None else groups[s] + p
 
-    # fold digit groups mod q: out = sum_s G_s * RADIX^s. One REDC per
-    # group element: mont_mul is exact for ANY uint32 left operand, so the
-    # two's-complement bits of the int32 group sum feed it directly
+    # fold digit groups mod q: out = sum_s G_s * RADIX^s. Default: one REDC
+    # per group element -- mont_mul is exact for ANY uint32 left operand,
+    # so the two's-complement bits of the int32 group sum feed it directly
     # (u = g + 2^32*[g<0]) and the negative-lane excess is removed with a
-    # precomputed (2^32 * RADIX^s mod q) conditional subtract -- replacing
+    # precomputed (2^32 * RADIX^s mod q) conditional subtract, replacing
     # the old reduce_i32_centered + mont_mul chain (two REDCs). Bit-
-    # identical by construction (same value mod q; tests/test_conv_mxu.py).
+    # identical either way (same value mod q; tests/test_conv_mxu.py).
+    # Measured end-to-end (fresh processes, same session): single-REDC
+    # wins the open headline decisively (+9.0%: 474.7k -> 517.2k) and
+    # linear (+6.9%: 159.1k -> 170.1k) but costs sum ~7% (37.7k -> 35.0k,
+    # reproduced twice) -- the stacked 5-sibling matvec program schedules
+    # the leaner fold worse. Default follows the headline;
+    # RINGZK_FOLD_LEGACY=1 restores the two-REDC form for sum-heavy
+    # deployments (trace-time flag, like every RINGZK_* switch).
+    legacy = os.environ.get("RINGZK_FOLD_LEGACY", "0") == "1"
     acc = None
     for s, g in enumerate(groups):
-        u = jax.lax.bitcast_convert_type(g, jnp.uint32)
-        term = qc.mont_mul(u, jnp.uint32(_shift_mont(ring, s)))
-        corr = jnp.where(
-            g < 0, jnp.uint32(_shift_neg_corr(ring, s)), jnp.uint32(0)
-        )
-        term = qc.sub(term, corr)
+        if legacy:
+            gu = qc.reduce_i32_centered(g)
+            term = qc.mont_mul(gu, jnp.uint32(_shift_mont(ring, s)))
+        else:
+            u = jax.lax.bitcast_convert_type(g, jnp.uint32)
+            term = qc.mont_mul(u, jnp.uint32(_shift_mont(ring, s)))
+            corr = jnp.where(
+                g < 0, jnp.uint32(_shift_neg_corr(ring, s)), jnp.uint32(0)
+            )
+            term = qc.sub(term, corr)
         acc = term if acc is None else qc.add(acc, term)
     out = ring.to_centered(acc)
     return out.reshape(batch + (rows, n))
