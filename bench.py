@@ -131,13 +131,13 @@ def main():
         "one chain's MXU matvec phases with another's VPU transform phases "
         "across the protocol's sequential dependency walls. Same total "
         "work and per-proof semantics; each chain draws its own key. "
-        "Default 2 for open (measured +7.9%; saturates there -- chains=4 "
-        "measured the same), 1 otherwise. --chains 1 restores the single "
-        "chain.",
+        "Default 2 (measured wins: open +7.9%, linear +3.2%, sum +14.8% "
+        "over single-chain; open saturates at 2 -- chains=4 measured the "
+        "same). --chains 1 restores the single chain.",
     )
     args = ap.parse_args()
     if args.chains is None:
-        args.chains = 2 if args.protocol == "open" else 1
+        args.chains = 2  # measured win for all three protocols (BENCHMARKS.md)
 
     from ringzk_tpu import Params, keygen
     from ringzk_tpu.protocols import linear as linear_mod

@@ -30,8 +30,8 @@ Peaks (TPU v5e -- `jax.devices()[0].device_kind == "TPU v5 lite"` here):
   the 8x128-lane x 4-ALU VPU shape per TensorCore => ~6.3e12 lane-ops/s
   (marked approximate in the output).
 
-Usage: python scripts/roofline_model.py [--proofs-per-s 517163] [--batch 8192]
-Default proofs/s is the round-4 headline (BENCHMARKS.md).
+Usage: python scripts/roofline_model.py [--proofs-per-s 597186] [--batch 8192]
+Default proofs/s is the round-4 shipped-default band floor (BENCHMARKS.md).
 """
 
 from __future__ import annotations
@@ -160,8 +160,8 @@ def open_proof_work(params: Params, n_deg: int) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--proofs-per-s", type=float, default=517163.0,
-                    help="measured end-to-end rate (round-4 headline)")
+    ap.add_argument("--proofs-per-s", type=float, default=597186.0,
+                    help="measured end-to-end rate (round-4 shipped-default floor)")
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
