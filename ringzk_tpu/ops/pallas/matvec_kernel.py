@@ -32,7 +32,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_B = 128
+import os
+
+TILE_B = int(os.environ.get("RINGZK_MATVEC_TILE", "128"))
 W_VMEM_BUDGET = 8 * 1024 * 1024   # resident-operator cap (bytes, int8)
 
 
