@@ -315,7 +315,7 @@ def matvec_key_siblings(ring: RingContext, ck: CommitmentKey, vs, bound: int):
     return [matvec_key(ring, ck, "a", v, bound) for v in vs]
 
 
-def chained_roundtrip(fn, key, inputs, chains: int):
+def chained_roundtrip(fn, key, inputs, chains: int, min_ndims):
     """Run ``fn(key_i, *input_slices)`` over ``chains`` independent splits
     of the leading batch axis and concatenate the (ok, op_ok) pairs.
 
@@ -324,12 +324,22 @@ def chained_roundtrip(fn, key, inputs, chains: int):
     chains give XLA cross-chain overlap across those walls (measured +7.9%
     on the open headline, saturating at chains=2 -- BENCHMARKS.md). Same
     per-proof semantics and work; each chain consumes its own derived key.
+
+    ``min_ndims`` gives each input's rank WITH a proof-batch axis (e.g. 3
+    for open's x [B, l, N]): the leading axis of an unbatched input is a
+    protocol STRUCTURE axis (message rows l, summands V), and splitting it
+    would silently prove a different statement -- rejected here.
     """
     b = inputs[0].shape[0]
-    if any(a.ndim < 2 or a.shape[0] != b for a in inputs) or b % chains:
+    if (
+        any(a.ndim < m for a, m in zip(inputs, min_ndims))
+        or any(a.shape[0] != b for a in inputs)
+        or b % chains
+    ):
         raise ValueError(
-            f"chains={chains} needs a shared leading batch axis divisible "
-            f"by it (shapes {[a.shape for a in inputs]})"
+            f"chains={chains} needs a shared leading proof-batch axis "
+            f"divisible by it (shapes {[a.shape for a in inputs]}; an "
+            "unbatched call cannot be chained)"
         )
     split = [
         a.reshape((chains, b // chains) + a.shape[1:]) for a in inputs

@@ -206,7 +206,8 @@ def roundtrip(key, ck: CommitmentKey, g, x, params: Params, chains: int = 1):
 
     if chains > 1:
         return commit_mod.chained_roundtrip(
-            lambda k, gc, xc: roundtrip(k, ck, gc, xc, params), key, (g, x), chains
+            lambda k, gc, xc: roundtrip(k, ck, gc, xc, params),
+            key, (g, x), chains, (2, 3),
         )
     k1, k2 = jax.random.split(key)
     rctx, pcom = prover_commit(k1, ck, g, x, params)

@@ -185,7 +185,7 @@ def roundtrip(key, ck: CommitmentKey, x, params: Params, chains: int = 1):
 
     if chains > 1:
         return commit_mod.chained_roundtrip(
-            lambda k, xc: roundtrip(k, ck, xc, params), key, (x,), chains
+            lambda k, xc: roundtrip(k, ck, xc, params), key, (x,), chains, (3,)
         )
 
     k1, k2 = jax.random.split(key)

@@ -256,7 +256,8 @@ def roundtrip(key, ck: CommitmentKey, gs, xs, params: Params, chains: int = 1):
 
     if chains > 1:
         return commit_mod.chained_roundtrip(
-            lambda k, g, x: roundtrip(k, ck, g, x, params), key, (gs, xs), chains
+            lambda k, g, x: roundtrip(k, ck, g, x, params),
+            key, (gs, xs), chains, (3, 4),
         )
     k1, k2 = jax.random.split(key)
     rctx, pcom = prover_commit(k1, ck, gs, xs, params)

@@ -293,3 +293,11 @@ def test_roundtrip_chains(ck):
     )
     oks, ops = sum_mod.roundtrip(kp, ck, gs, xs, PARAMS, chains=2)
     assert oks.shape == (8,) and bool(jnp.all(oks)) and bool(jnp.all(ops))
+
+    # an UNBATCHED call must be rejected, not silently split along a
+    # protocol structure axis (V here -- that would prove a different
+    # statement; same for open's l rows)
+    with pytest.raises(ValueError, match="unbatched"):
+        sum_mod.roundtrip(kp, ck, gs[0], xs[0], PARAMS, chains=2)
+    with pytest.raises(ValueError, match="unbatched"):
+        open_mod.roundtrip(kp, ck, rand_x(kx, ())[0:], PARAMS, chains=2)
