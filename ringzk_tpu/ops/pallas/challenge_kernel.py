@@ -40,20 +40,29 @@ def _challenge_kernel(kappa: int, n: int, u_ref, s_ref, o_ref):
     thr = jnp.zeros(u.shape[:-1] + (1,), jnp.uint32)
     for bit in range(31, -1, -1):
         cand = thr | np.uint32(1 << bit)
-        cnt = jnp.sum((u >= cand).astype(jnp.int32), axis=-1, keepdims=True)
+        # dtype pinned: under jax x64 (wide rings) jnp.sum would promote
+        # to int64, which Mosaic cannot lower
+        cnt = jnp.sum(
+            (u >= cand).astype(jnp.int32), axis=-1, keepdims=True,
+            dtype=jnp.int32,
+        )
         thr = jnp.where(cnt >= kap, cand, thr)
     gt = u > thr
     eq = u == thr
     # Exactly kappa lanes: all strictly-above lanes, plus the first
     # (kappa - #above) threshold ties in ascending lane order -- the stable
     # top_k tie rule. Tie ranks via a Hillis-Steele inclusive scan.
-    need = kap - jnp.sum(gt.astype(jnp.int32), axis=-1, keepdims=True)
+    need = kap - jnp.sum(
+        gt.astype(jnp.int32), axis=-1, keepdims=True, dtype=jnp.int32
+    )
     eqi = eq.astype(jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, u.shape, u.ndim - 1)
     r = eqi
     off = 1
     while off < n:
-        shifted = pltpu.roll(r, off, axis=r.ndim - 1)
+        # shift pinned to int32: a Python int traces as an i64 scalar
+        # under jax x64 and tpu.dynamic_rotate rejects it
+        shifted = pltpu.roll(r, jnp.int32(off), axis=r.ndim - 1)
         r = r + jnp.where(lane >= off, shifted, jnp.zeros((), jnp.int32))
         off <<= 1
     rank = r - eqi  # exclusive prefix count of ties
@@ -80,14 +89,18 @@ def challenge_select_pallas(u, signs, kappa: int, interpret: bool = False):
     if pad:
         u2 = jnp.pad(u2, ((0, pad), (0, 0)))
         s2 = jnp.pad(s2, ((0, pad), (0, 0)))
+    # index maps return np.int32 zeros: a Python 0 literal traces as an
+    # i64 scalar under jax x64 (wide rings) and Mosaic rejects the index
+    # map's (i32, i64) func.return
+    zero = np.int32(0)
     out = pl.pallas_call(
         functools.partial(_challenge_kernel, kappa, n),
         grid=(pl.cdiv(u2.shape[0], tile),),
         in_specs=[
-            pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, n), lambda i: (i, zero), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, n), lambda i: (i, zero), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile, n), lambda i: (i, zero), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((u2.shape[0], n), jnp.int32),
         interpret=interpret,
     )(u2, s2)

@@ -238,3 +238,19 @@ def test_sp_ring_rejects_wide():
         m = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("sp",))
         with pytest.raises(ValueError, match="wide"):
             ring_sp.SpRing(n=N, q=Q33, mesh=m)
+
+
+def test_wide_challenge_kernel_x64():
+    """The Pallas challenge-select kernel must lower and agree with top_k
+    under jax x64 (wide-ring runs at N >= 128 route through it on TPU):
+    jnp.sum's int32->int64 promotion under x64 previously broke Mosaic
+    lowering -- accumulator dtypes are now pinned (round-4 fix)."""
+    from conftest import env_override
+    from ringzk_tpu.ops import sampling
+
+    with jax.enable_x64(True):
+        with env_override("RINGZK_PALLAS_CHALLENGE", "1"):
+            d1 = sampling.challenge(jax.random.PRNGKey(5), (4,), 512, 36)
+        with env_override("RINGZK_PALLAS_CHALLENGE", "0"):
+            d2 = sampling.challenge(jax.random.PRNGKey(5), (4,), 512, 36)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
