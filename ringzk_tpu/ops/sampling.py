@@ -51,7 +51,9 @@ def _use_pallas_select() -> bool:
         return flag == "1"
     try:
         devs = jax.devices()
-        return devs[0].platform not in ("cpu",) and len(devs) == 1
+        # strictly 'tpu' (the tunneled axon backend reports 'tpu' too): a
+        # GPU backend would fail at Mosaic lowering, not fall back
+        return devs[0].platform == "tpu" and len(devs) == 1
     except RuntimeError:
         return False
 

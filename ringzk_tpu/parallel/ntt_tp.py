@@ -109,6 +109,13 @@ def polymul_tp(
     ordinary pointwise code, and XLA materializes the one all-gather over
     tp that mixing the residues requires.
     """
+    if q >= 2**32:
+        # wide rings extend past NUM_PRIMES=3 (their CRT range needs more
+        # primes) and carry int64 residues -- this fixed-width tp=3 program
+        # would silently truncate both. Mirrors SpRing.__post_init__.
+        raise ValueError(
+            f"polymul_tp supports narrow rings only (q < 2^32), got q={q}"
+        )
     ring = ntt_mod._get_ring_cached(n, q)
     a = jnp.asarray(a, jnp.int32)
     b = jnp.asarray(b, jnp.int32)

@@ -160,6 +160,11 @@ def keygen(key, params: Params, n_deg: int, batch_shape=()) -> CommitmentKey:
         _use_mxu()
         and batch_shape == ()
         and n_deg <= MXU_MAX_N
+        # wide rings (modulus >= 2^32) are excluded outright: the digit
+        # fold's qctx is a Mont64Ctx (no uint32 mont_mul) and the int32
+        # matvec output cannot carry wide residues -- even a small sampling
+        # bound q that fits the digit capacity must take the NTT path
+        and not ring.wide
         # int32 accumulation capacity: per-plane sums are bounded by
         # kN*(128)^2 and up to KEY_DIGITS planes share one shift group
         # (conv_mxu.matvec_digits) -- the group total must stay < 2^31
@@ -330,6 +335,9 @@ def chained_roundtrip(fn, key, inputs, chains: int, min_ndims):
     protocol STRUCTURE axis (message rows l, summands V), and splitting it
     would silently prove a different statement -- rejected here.
     """
+    inputs = tuple(jnp.asarray(a) for a in inputs)  # lists/scalars -> arrays
+    if any(a.ndim < 1 for a in inputs):
+        raise ValueError("chained roundtrips need batched array inputs")
     b = inputs[0].shape[0]
     if (
         any(a.ndim < m for a, m in zip(inputs, min_ndims))

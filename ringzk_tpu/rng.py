@@ -51,19 +51,31 @@ import numpy as np
 
 
 def fresh_key(extra: int | None = None) -> jax.Array:
-    """A jax.random key seeded from OS entropy (``os.urandom``).
+    """A jax.random key seeded from OS entropy (``os.urandom``),
+    **pinned to the threefry implementation** regardless of the session's
+    ``jax_default_prng_impl``.
 
     Folds 128 bits of OS entropy into the PRNG key through four
     ``fold_in`` rounds -- ``jax.random.PRNGKey(seed)`` alone truncates the
     seed to 32 bits under the default x32 config, which would cap the whole
     transcript's unpredictability at 2^32 regardless of how the seed was
-    drawn. Works with any configured PRNG impl (threefry/rbg), since the
-    mixing rides the impl's own fold_in.
+    drawn.
+
+    The pin exists because the entropy injection rides the key impl's own
+    ``fold_in`` mixing: threefry's is a fixed, version-stable cryptographic
+    permutation, while ``rbg`` (the impl bench.py recommends for raw
+    throughput) is documented by JAX as backend-dependent and potentially
+    key-unstable across versions -- unspecified mixing is the wrong place
+    to stand a security helper. Policy: **threefry for key material, rbg
+    for throughput benchmarks** (constant ``PRNGKey(0)`` seeds only). The
+    returned typed key carries its impl with it, so every draw derived from
+    it (``split``/``fold_in``/samplers) stays threefry even in an
+    rbg-configured process.
 
     ``extra``: optional caller-supplied domain-separation integer (e.g. a
     party id), folded in last.
     """
-    key = jax.random.PRNGKey(0)
+    key = jax.random.key(0, impl="threefry2x32")
     for word in np.frombuffer(os.urandom(16), np.uint32):
         key = jax.random.fold_in(key, int(word))
     if extra is not None:

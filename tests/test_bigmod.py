@@ -254,3 +254,34 @@ def test_wide_challenge_kernel_x64():
         with env_override("RINGZK_PALLAS_CHALLENGE", "0"):
             d2 = sampling.challenge(jax.random.PRNGKey(5), (4,), 512, 36)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_wide_small_q_takes_ntt_path():
+    """A wide modulus with a small sampling bound must NOT build the int8
+    digit operator (its uint32 mont_mul fold cannot carry wide residues):
+    keygen routes to the NTT path and the roundtrip still verifies.
+    Regression: round-4 gated on q <= digit_capacity only, so
+    Params(q=1e6, modulus=2^33+9) crashed in matvec_digits."""
+    with jax.enable_x64(True):
+        params = Params(q=10**6, modulus=Q33)
+        ck = keygen(jax.random.PRNGKey(99), params, N)
+        assert ck.a1_dig is None and ck.a2_dig is None
+        x = jnp.asarray(
+            np.random.default_rng(100).integers(
+                -params.q, params.q + 1, size=(2, params.l, N), dtype=np.int64
+            )
+        )
+        ok, op_ok = open_mod.roundtrip(jax.random.PRNGKey(101), ck, x, params)
+        assert bool(jnp.all(ok)) and bool(jnp.all(op_ok))
+
+
+def test_polymul_tp_rejects_wide():
+    """polymul_tp's fixed tp=3 program is narrow-only: wide moduli need
+    more CRT primes and int64 residues -- reject, don't truncate."""
+    from ringzk_tpu.parallel import ntt_tp
+
+    with jax.enable_x64(True):
+        m = jax.sharding.Mesh(np.array(jax.devices()[:3]), ("tp",))
+        a = jnp.zeros((16,), jnp.int64)
+        with pytest.raises(ValueError, match="narrow"):
+            ntt_tp.polymul_tp(m, a, a, 16, Q33)

@@ -301,3 +301,11 @@ def test_roundtrip_chains(ck):
         sum_mod.roundtrip(kp, ck, gs[0], xs[0], PARAMS, chains=2)
     with pytest.raises(ValueError, match="unbatched"):
         open_mod.roundtrip(kp, ck, rand_x(kx, ())[0:], PARAMS, chains=2)
+
+    # non-array inputs are normalized (list-of-arrays == the stacked array)
+    # or rejected with the intended ValueError -- never an AttributeError
+    # from .ndim probing
+    okl2, opl2 = open_mod.roundtrip(kp, ck, list(x), PARAMS, chains=2)
+    assert okl2.shape == (8,) and bool(jnp.all(okl2))
+    with pytest.raises(ValueError):
+        open_mod.roundtrip(kp, ck, 3, PARAMS, chains=2)

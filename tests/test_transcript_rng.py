@@ -73,11 +73,29 @@ def test_fresh_key_entropy_and_shape():
     import ringzk_tpu as rz
 
     k1, k2 = rz.fresh_key(), rz.fresh_key()
-    assert k1.shape == jax.random.PRNGKey(0).shape
-    assert not np.array_equal(np.asarray(k1), np.asarray(k2))
+    assert not np.array_equal(
+        jax.random.key_data(k1), jax.random.key_data(k2)
+    )
     # usable downstream
     a, b = jax.random.split(k1)
     assert a.shape == k1.shape
     # extra acts as domain separation on top of the entropy words
     k3 = rz.fresh_key(extra=7)
     assert k3.shape == k1.shape
+
+
+def test_fresh_key_pinned_to_threefry():
+    """fresh_key returns a typed key pinned to threefry even when the
+    session default impl is rbg (the bench throughput configuration): the
+    security helper's entropy mixing must never ride rbg's unspecified,
+    backend-dependent fold_in (rng.py policy)."""
+    import jax
+
+    import ringzk_tpu as rz
+
+    with jax.default_prng_impl("rbg"):
+        k = rz.fresh_key()
+    assert "threefry" in str(jax.random.key_impl(k))
+    # derived draws stay threefry: split output carries the same impl
+    a, _ = jax.random.split(k)
+    assert "threefry" in str(jax.random.key_impl(a))
