@@ -12,7 +12,8 @@ north-star target is the denominator).
 
 The extra fields make a driver-captured number self-diagnosing against the
 documented band (round-3 lesson: BENCH_r03 read 4.5% under the band with
-nothing to attribute it):
+nothing to attribute it); they are produced by utils/benchtime.py, the
+shared timing module of every driver surface:
   windows       per-window proofs/s spread of the median-of-5 timing --
                 wide spread == tunnel dispatch-rate swings, not a code
                 regression;
@@ -31,86 +32,38 @@ phase bench in the reference (/root/reference/benches/bench.rs).
 same way (VL=4 summands for sum, the reference bench's config).
 
 Usage: python bench.py [--protocol open|linear|sum] [--batch B] [--n N]
-                       [--iters I] [--full]
-  --full additionally prints the per-phase table (reference bench parity)
-         to stderr (open protocol only).
+                       [--iters I] [--full] [--modulus Q]
+  --full additionally prints the per-phase table for the selected protocol
+         (reference Criterion-group parity, fetch-forced cross-checked)
+         to stderr.
+  --modulus selects a non-default ring modulus (an odd q' < 2^63; >= 2^32
+         engages the wide int64 ring and requires JAX_ENABLE_X64=1).
 """
 
 import argparse
 import json
 import os
 import sys
-import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 # Throughput mode: the TPU-native RngBitGenerator PRNG is ~6% faster
 # end-to-end than threefry (488k vs 460k proofs/s). The library default
-# stays threefry (JAX's standard, key-stable across versions); the bench
-# measures the recommended high-throughput deployment configuration.
+# stays threefry (JAX's standard, key-stable across versions; fresh_key
+# pins it for key material -- rng.py policy); the bench measures the
+# recommended high-throughput deployment configuration.
 os.environ.setdefault("JAX_DEFAULT_PRNG_IMPL", "rbg")
 
 import jax
 import jax.numpy as jnp
 
-
-def _time_fn(fn, args, iters, windows=5):
-    """Median-of-windows timing: ``windows`` back-to-back windows of
-    ``iters`` dispatches each; report the median window.
-
-    The axon-tunneled TPU backend has multi-second dispatch-rate swings
-    (shared remote chip + tunnel queueing): a single window can read 20%
-    below the sustained rate. The median over 5 windows is stable run to
-    run, which is what makes the headline driver-reproducible.
-
-    Returns (median_dt, sorted list of all window dts).
-    """
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile
-    for _ in range(3):          # warm the dispatch path
-        out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / iters)
-    times.sort()
-    return times[len(times) // 2], times
-
-
-def _time_fetch_forced(fn, args, iters):
-    """One window timed to an actual D2H fetch of the result (np.asarray of
-    a small leaf), catching block_until_ready under-reporting (observed 50x
-    on this backend for argument-heavy programs -- BENCHMARKS.md). Must run
-    AFTER all block_until_ready windows: the fetch itself can permanently
-    degrade subsequent tunnel dispatch."""
-    import numpy as np
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf)  # the ONE D2H, inside the timed region
-    return (time.perf_counter() - t0) / iters
-
-
-def _engine_fingerprint():
-    """The active engine configuration, for the JSON record."""
-    flags = {
-        k: v for k, v in sorted(os.environ.items()) if k.startswith("RINGZK_")
-    }
-    dev = jax.devices()[0]
-    return {
-        "flags": flags,
-        "prng": os.environ.get("JAX_DEFAULT_PRNG_IMPL", "threefry"),
-        "platform": dev.platform,
-        "device": str(getattr(dev, "device_kind", dev)),
-    }
-
+from ringzk_tpu.utils.benchtime import (
+    engine_fingerprint,
+    fetch_forced_pass,
+    timed_row,
+    windows_record,
+)
 
 SUM_VL = 4  # reference bench's summand count (/root/reference/benches/bench.rs:200)
 
@@ -122,6 +75,14 @@ def main():
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--full", action="store_true")
+    ap.add_argument(
+        "--modulus",
+        type=int,
+        default=None,
+        help="ring modulus q' (default: the reference's 3515337053). Any "
+        "odd value < 2^63; >= 2^32 runs the wide int64 ring (ops/mont64) "
+        "and needs JAX_ENABLE_X64=1 in the environment.",
+    )
     ap.add_argument(
         "--chains",
         type=int,
@@ -144,7 +105,16 @@ def main():
     from ringzk_tpu.protocols import open as open_mod
     from ringzk_tpu.protocols import sum as sum_mod
 
-    params = Params()
+    if args.modulus is None:
+        params = Params()
+    else:
+        params = Params(q=args.modulus // 2, modulus=args.modulus)
+        if params.modulus >= 2**32 and not jax.config.jax_enable_x64:
+            print(
+                json.dumps({"error": "wide modulus needs JAX_ENABLE_X64=1"})
+            )
+            sys.exit(1)
+    dtype = jnp.int64 if params.modulus >= 2**32 else jnp.int32
     n_deg = args.n
     # per-protocol default batches: linear does ~2.5x and sum (VL=4) ~5x the
     # open proof's work per item; smaller batches keep the dispatch trains
@@ -155,9 +125,10 @@ def main():
 
     def rand_poly(key, shape):
         return jax.random.randint(
-            key, shape, -params.q, params.q + 1, dtype=jnp.int32
+            key, shape, -params.q, params.q + 1, dtype=dtype
         )
 
+    mod_sfx = f", q'={params.modulus}" if args.modulus is not None else ""
     if args.protocol == "open":
         c = args.chains
         x = rand_poly(kx, (b, params.l, n_deg))
@@ -165,7 +136,7 @@ def main():
             lambda k, x: open_mod.roundtrip(k, ck, x, params, chains=c)
         )
         fargs = (kp, x)
-        suffix = f", chains={c}" if c > 1 else ""
+        suffix = (f", chains={c}" if c > 1 else "") + mod_sfx
         label = f"verified open proofs/s per chip (N={n_deg}, batch={b}{suffix})"
     elif args.protocol == "linear":
         c = args.chains
@@ -175,7 +146,7 @@ def main():
             lambda k, g, x: linear_mod.roundtrip(k, ck, g, x, params, chains=c)
         )
         fargs = (kp, g, x)
-        suffix = f", chains={c}" if c > 1 else ""
+        suffix = (f", chains={c}" if c > 1 else "") + mod_sfx
         label = f"verified linear proofs/s per chip (N={n_deg}, batch={b}{suffix})"
     else:
         c = args.chains
@@ -185,13 +156,13 @@ def main():
             lambda k, gs, xs: sum_mod.roundtrip(k, ck, gs, xs, params, chains=c)
         )
         fargs = (kp, gs, xs)
-        suffix = f", chains={c}" if c > 1 else ""
+        suffix = (f", chains={c}" if c > 1 else "") + mod_sfx
         label = (
             f"verified sum proofs/s per chip (N={n_deg}, VL={SUM_VL}, "
             f"batch={b}{suffix})"
         )
 
-    dt, window_dts = _time_fn(step, fargs, args.iters)
+    dt, window_dts = timed_row(step, fargs, args.iters)
     ok, op_ok = step(*fargs)
     if not (bool(ok.all()) and bool(op_ok.all())):
         print(json.dumps({"error": "verification failed"}))
@@ -200,12 +171,33 @@ def main():
     proofs_per_s = b / dt
     target = 1e5  # north-star: >= 1e5 verified open proofs/s per host, N=512
 
-    if args.full and args.protocol == "open":
-        _full_table(params, ck, fargs[1], kp, n_deg, b, args.iters)
+    # per-phase Criterion-parity table (timed BEFORE any fetch-forced pass)
+    phase_rows = []
+    if args.full:
+        phase_rows = _phase_rows(
+            args.protocol, params, ck, fargs, kp, n_deg, b, args.iters
+        )
 
-    # LAST: the fetch-forced cross-check window (its D2H can degrade
-    # subsequent dispatch on this backend)
-    dt_ff = _time_fetch_forced(step, fargs, args.iters)
+    # LAST: the fetch-forced cross-check windows (a D2H can degrade
+    # subsequent dispatch on this backend). The headline goes first
+    # (ff_order 0 -- the most trustworthy slot), phases after, in order.
+    headline_rec = {}
+    fetch_forced_pass(
+        [(headline_rec, step, fargs, b)]
+        + [(rec, fn, a, b) for rec, fn, a in phase_rows],
+        args.iters,
+    )
+
+    for rec, _fn, _a in phase_rows:
+        print(
+            f"{rec['name']:34s} {rec['ns_per_op']:12.1f} ns/proof "
+            f"({rec['windows']['median']:12.1f} proofs/s, "
+            f"ff {rec['fetch_forced']:12.1f}, "
+            f"spread {rec['windows']['min']:.0f}-{rec['windows']['max']:.0f})",
+            file=sys.stderr,
+        )
+    if args.full and args.protocol == "open":
+        _ntt_roofline(params, n_deg, b, args.iters)
 
     print(
         json.dumps(
@@ -214,47 +206,85 @@ def main():
                 "value": round(proofs_per_s, 1),
                 "unit": "proofs/s",
                 "vs_baseline": round(proofs_per_s / target, 3),
-                "windows": {
-                    "min": round(b / window_dts[-1], 1),
-                    "median": round(proofs_per_s, 1),
-                    "max": round(b / window_dts[0], 1),
-                },
-                "fetch_forced": round(b / dt_ff, 1),
-                "engine": _engine_fingerprint(),
+                "windows": windows_record(b, dt, window_dts),
+                "fetch_forced": headline_rec["fetch_forced"],
+                "engine": engine_fingerprint(),
             }
         )
     )
 
 
-def _full_table(params, ck, x, key, n_deg, b, iters):
+def _phase_rows(protocol, params, ck, fargs, key, n_deg, b, iters):
     """Per-phase timings mirroring the reference's Criterion groups
-    (/root/reference/benches/bench.rs): commit / generate_challenge /
-    create_response / verify, per proof."""
+    (/root/reference/benches/bench.rs:35-305): commit / generate_challenge /
+    create_response / verify for the selected protocol. Times every phase
+    with median-of-windows NOW; the caller runs the fetch-forced pass last.
+    Returns [(record, fn, args), ...]."""
+    from ringzk_tpu.protocols import linear as linear_mod
     from ringzk_tpu.protocols import open as open_mod
+    from ringzk_tpu.protocols import sum as sum_mod
 
     k1, k2 = jax.random.split(key)
-    commit_f = jax.jit(lambda k, x: open_mod.prover_commit(k, ck, x, params))
-    rctx, pcom = commit_f(k1, x)
-    chal_f = jax.jit(lambda k, pc: open_mod.generate_challenge(k, pc, params))
-    vctx, chal = chal_f(k2, pcom)
-    resp_f = jax.jit(lambda rc, ch: open_mod.create_response(rc, ch, params))
-    resp = resp_f(rctx, chal)
-    verify_f = jax.jit(lambda r, v: open_mod.verify(ck, r, v, params))
-
-    rows = [
-        ("open_proof_commit", commit_f, (k1, x)),
-        ("open_proof_generate_challenge", chal_f, (k2, pcom)),
-        ("open_proof_create_response", resp_f, (rctx, chal)),
-        ("open_proof_verify", verify_f, (resp, vctx)),
-    ]
-    for name, fn, fargs in rows:
-        dt, _ = _time_fn(fn, fargs, iters)
-        print(
-            f"{name:32s} {dt / b * 1e9:12.1f} ns/proof "
-            f"({b / dt:12.1f} proofs/s batch={b})",
-            file=sys.stderr,
+    if protocol == "open":
+        x = fargs[1]
+        commit_f = jax.jit(lambda k, x: open_mod.prover_commit(k, ck, x, params))
+        rctx, pcom = commit_f(k1, x)
+        chal_f = jax.jit(lambda k, pc: open_mod.generate_challenge(k, pc, params))
+        vctx, chal = chal_f(k2, pcom)
+        resp_f = jax.jit(lambda rc, ch: open_mod.create_response(rc, ch, params))
+        resp = resp_f(rctx, chal)
+        verify_f = jax.jit(lambda r, v: open_mod.verify(ck, r, v, params))
+        rows = [
+            ("open_proof_commit", commit_f, (k1, x)),
+            ("open_proof_generate_challenge", chal_f, (k2, pcom)),
+            ("open_proof_create_response", resp_f, (rctx, chal)),
+            ("open_proof_verify", verify_f, (resp, vctx)),
+        ]
+    elif protocol == "linear":
+        g, x = fargs[1], fargs[2]
+        commit_f = jax.jit(
+            lambda k, g, x: linear_mod.prover_commit(k, ck, g, x, params)
         )
-    _ntt_roofline(params, n_deg, b, iters)
+        rctx, pcom = commit_f(k1, g, x)
+        chal_f = jax.jit(lambda k, pc: linear_mod.generate_challenge(k, pc, params))
+        vctx, chal = chal_f(k2, pcom)
+        resp_f = jax.jit(lambda rc, ch: linear_mod.create_response(rc, ch, params))
+        resp = resp_f(rctx, chal)
+        verify_f = jax.jit(lambda r, v: linear_mod.verify(ck, r, v, params))
+        rows = [
+            ("linear_proof_commit", commit_f, (k1, g, x)),
+            ("linear_proof_generate_challenge", chal_f, (k2, pcom)),
+            ("linear_proof_create_response", resp_f, (rctx, chal)),
+            ("linear_proof_verify", verify_f, (resp, vctx)),
+        ]
+    else:
+        gs, xs = fargs[1], fargs[2]
+        commit_f = jax.jit(
+            lambda k, gs, xs: sum_mod.prover_commit(k, ck, gs, xs, params)
+        )
+        rctx, pcom = commit_f(k1, gs, xs)
+        chal_f = jax.jit(lambda k, pc: sum_mod.generate_challenge(k, pc, params))
+        vctx, chal = chal_f(k2, pcom)
+        resp_f = jax.jit(lambda rc, ch: sum_mod.create_response(rc, ch, params))
+        resp = resp_f(rctx, chal)
+        verify_f = jax.jit(lambda r, v: sum_mod.verify(ck, r, v, params))
+        rows = [
+            ("sum_proof_commit", commit_f, (k1, gs, xs)),
+            ("sum_proof_generate_challenge", chal_f, (k2, pcom)),
+            ("sum_proof_create_response", resp_f, (rctx, chal)),
+            ("sum_proof_verify", verify_f, (resp, vctx)),
+        ]
+
+    out = []
+    for name, fn, a in rows:
+        dt, dts = timed_row(fn, a, iters)
+        rec = {
+            "name": name,
+            "ns_per_op": dt / b * 1e9,
+            "windows": windows_record(b, dt, dts),
+        }
+        out.append((rec, fn, a))
+    return out
 
 
 def _ntt_roofline(params, n_deg, b, iters):
@@ -268,21 +298,23 @@ def _ntt_roofline(params, n_deg, b, iters):
     op/s), so any "roofline fraction" derived from them would be fiction.
     scripts/calibrate_vpu.py documents the attempts.
     """
-    from ringzk_tpu.ops.ntt import NUM_PRIMES, get_ring
+    from ringzk_tpu.ops.ntt import get_ring
 
     ring = get_ring(n_deg, params.modulus)
+    num_primes = ring.num_primes
     polys = b * params.k
     x = jax.random.randint(
-        jax.random.PRNGKey(2), (polys, n_deg), -params.q, params.q + 1, jnp.int32
+        jax.random.PRNGKey(2), (polys, n_deg), -params.q, params.q + 1,
+        ring.dtype,
     )
     fwd_f = jax.jit(lambda v: ring.fwd(v))
-    dt, _ = _time_fn(fwd_f, (x,), iters)
+    dt, _ = timed_row(fwd_f, (x,), iters)
     logn = n_deg.bit_length() - 1
-    bflies = polys * NUM_PRIMES * (n_deg // 2) * logn
+    bflies = polys * num_primes * (n_deg // 2) * logn
     rate = bflies / dt
-    gbps = x.size * 4 * (1 + NUM_PRIMES) / dt / 1e9
+    gbps = x.size * 4 * (1 + num_primes) / dt / 1e9
     print(
-        f"{'ntt_fwd_butterflies/s':32s} {rate:12.3e} "
+        f"{'ntt_fwd_butterflies/s':34s} {rate:12.3e} "
         f"({dt / polys * 1e9:8.1f} ns/transform, {gbps:7.1f} GB/s effective)",
         file=sys.stderr,
     )

@@ -173,8 +173,24 @@ def _use_pallas_matvec() -> bool:
 
 
 def matvec_digits(ring: RingContext, w_digits, rows: int, v, v_digits: int):
-    """Digit-matmul negacyclic matvec against a prebuilt [kN, D*rowsN]
-    int8 operator (see KeyOperator). Exact mod-q, centered int32 result."""
+    """Digit-matmul negacyclic matvec against a prebuilt int8 operator:
+    [kN, D*rowsN] (resident/XLA layout) or [D, kN, rowsN] (the streamed
+    blocked layout keygen stores for large-N keys -- see
+    pallas/matvec_kernel.to_blocked_layout). Exact mod-q, centered int32
+    result, bit-identical across all three engines."""
+    if w_digits.ndim == 3:
+        if _use_pallas_matvec():
+            from .pallas import matvec_kernel, pallas_interpret
+
+            return matvec_kernel.matvec_digits_colblock(
+                ring, w_digits, rows, v, v_digits, interpret=pallas_interpret()
+            )
+        # kernel off (CPU tests / A-B runs): reconstruct the 2D layout for
+        # the XLA matmul below -- a per-call transpose, acceptable because
+        # keygen only stores the blocked layout when the kernel is the
+        # active path at keygen time
+        d, kn_, rows_n_ = w_digits.shape
+        w_digits = jnp.transpose(w_digits, (1, 0, 2)).reshape(kn_, d * rows_n_)
     if _use_pallas_matvec():
         from .pallas import matvec_kernel, pallas_interpret
 
@@ -270,6 +286,21 @@ def build_operator_digits(a: np.ndarray, ring: RingContext):
     """[rows, k, N] int32 -> ([kN, D*rowsN] int8 jnp array, rows)."""
     op = KeyOperator(np.asarray(a), ring)
     return op.w_digits
+
+
+def maybe_blocked_layout(w_digits, rows: int, k: int, n: int):
+    """Convert a freshly built [kN, D*rowsN] operator to the streamed
+    [D, kN, rowsN] layout when the column-blocked Pallas kernel is the
+    path that will consume it (operator past the resident VMEM gate, slab
+    fits, kernel enabled at keygen time). Otherwise return it unchanged --
+    the resident kernel and the XLA matmul both want the 2D layout."""
+    if not _use_pallas_matvec():
+        return w_digits
+    from .pallas import matvec_kernel
+
+    if matvec_kernel.blocked_layout_ok(rows, k, n, KEY_DIGITS):
+        return matvec_kernel.to_blocked_layout(w_digits)
+    return w_digits
 
 
 def build_operator_digits_device(a, ring: RingContext):

@@ -20,6 +20,18 @@ digits, identical exact mod-q algebra; tests/test_pallas.py).
 
 Gated to operators that fit VMEM (w <= ~8 MB: the headline N=512 shapes)
 with the XLA path as fallback -- see conv_mxu.matvec_digits.
+
+Column-blocked variant (round 5): operators past the VMEM gate (N >= 1024,
+where the plane-intermediate HBM stream the resident kernel kills grows
+quadratically worse) run `matvec_digits_colblock`: the operator is stored
+[D, kN, rows*N] (keygen picks the layout) and the grid walks (batch tile,
+column block) with the batch tile OUTER -- the [TILE_B, kN] input slab
+stays VMEM-resident across one full sweep of operator column slabs
+streamed from HBM, each producing its [TILE_B, CB] output block with the
+same in-kernel digits + shift-group fold. HBM traffic per matvec:
+read v once + stream the operator (B/TILE_B) times + write the result --
+still no [dv, B, D, rowsN] int32 plane tensor. Bit-identical to both
+other paths (tests/test_pallas.py).
 """
 
 from __future__ import annotations
@@ -36,16 +48,22 @@ import os
 
 TILE_B = int(os.environ.get("RINGZK_MATVEC_TILE", "128"))
 W_VMEM_BUDGET = 8 * 1024 * 1024   # resident-operator cap (bytes, int8)
+# column-blocked variant: total VMEM target for (2x input slab + 2x
+# operator column slab + output), leaving headroom under the ~16 MB core
+COL_VMEM_BUDGET = int(
+    os.environ.get("RINGZK_MATVEC_COL_VMEM", str(12 * 1024 * 1024))
+)
 
 
-def _matvec_kernel(
-    ring, v_digits: int, key_digits: int, rows_n: int, v_ref, w_ref, o_ref
-):
-    """v_ref [TB, kN] int32; w_ref [kN, D*rows_n] int8; o_ref [TB, rows_n]."""
+def _digits_matmul_fold(ring, v_digits: int, key_digits: int, v, take_wcol):
+    """Shared kernel body: balanced-digit-decompose ``v`` [TB, kN] (the
+    bias trick of conv_mxu.balanced_digits), one int8 MXU dot per (dv, dw)
+    digit-plane pair against ``take_wcol(dw)`` [kN, C], shift-group
+    accumulation, and the single-REDC mod-q fold -- identical algebra to
+    conv_mxu.matvec_digits. Returns centered int32 [TB, C]."""
     from .. import conv_mxu
 
     qc = ring.qctx
-    v = v_ref[...]
     bias = sum((conv_mxu.RADIX // 2) << (conv_mxu.RADIX_BITS * i)
                for i in range(v_digits))
     u = jax.lax.bitcast_convert_type(v, jnp.uint32) + np.uint32(bias)
@@ -58,17 +76,15 @@ def _matvec_kernel(
              & np.uint32(conv_mxu.RADIX - 1)).astype(jnp.int32) - half
         ).astype(jnp.int8)
         for dw in range(key_digits):
-            wcol = w_ref[:, dw * rows_n : (dw + 1) * rows_n]
             p = jax.lax.dot_general(
                 d,
-                wcol,
+                take_wcol(dw),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
             s = dv + dw
             groups[s] = p if groups[s] is None else groups[s] + p
 
-    # single-REDC fold, identical algebra to conv_mxu.matvec_digits
     acc = None
     for s, g in enumerate(groups):
         gu = jax.lax.bitcast_convert_type(g, jnp.uint32)
@@ -78,11 +94,34 @@ def _matvec_kernel(
         )
         term = qc.sub(term, corr)
         acc = term if acc is None else qc.add(acc, term)
-    o_ref[...] = ring.to_centered(acc)
+    return ring.to_centered(acc)
+
+
+def _matvec_kernel(
+    ring, v_digits: int, key_digits: int, rows_n: int, v_ref, w_ref, o_ref
+):
+    """v_ref [TB, kN] int32; w_ref [kN, D*rows_n] int8; o_ref [TB, rows_n]."""
+    o_ref[...] = _digits_matmul_fold(
+        ring, v_digits, key_digits, v_ref[...],
+        lambda dw: w_ref[:, dw * rows_n : (dw + 1) * rows_n],
+    )
+
+
+def _matvec_colblock_kernel(
+    ring, v_digits: int, key_digits: int, v_ref, w_ref, o_ref
+):
+    """v_ref [TB, kN] int32; w_ref [D, kN, CB] int8 (one streamed column
+    slab of the blocked operator); o_ref [TB, CB]."""
+    o_ref[...] = _digits_matmul_fold(
+        ring, v_digits, key_digits, v_ref[...], lambda dw: w_ref[dw]
+    )
 
 
 def matvec_fits(w_digits, n: int) -> bool:
-    """Kernel applicability: operator resident in VMEM, lane-aligned shapes."""
+    """Resident-kernel applicability: operator [kN, D*rows_n] fits VMEM,
+    lane-aligned shapes."""
+    if w_digits.ndim != 2:
+        return False
     rows_n = w_digits.shape[1]
     return (
         w_digits.size <= W_VMEM_BUDGET
@@ -91,6 +130,97 @@ def matvec_fits(w_digits, n: int) -> bool:
         and w_digits.shape[0] % 128 == 0
         and rows_n % 128 == 0
     )
+
+
+def colblock_cb(kn: int, rows_n: int, key_digits: int) -> int | None:
+    """Column-slab width for the blocked kernel: the largest multiple of
+    128 dividing rows_n such that 2x the input slab + 2x the operator slab
+    fit COL_VMEM_BUDGET (Pallas double-buffers streamed blocks). None when
+    nothing >= 128 fits (fall back to the XLA path)."""
+    env = os.environ.get("RINGZK_MATVEC_CB")
+    if env is not None:
+        cb = int(env)
+        return cb if cb and rows_n % cb == 0 else None
+    v_bytes = 2 * TILE_B * kn * 4
+    room = COL_VMEM_BUDGET - v_bytes
+    best = None
+    cb = 128
+    while cb <= rows_n:
+        if rows_n % cb == 0 and 2 * kn * key_digits * cb <= room:
+            best = cb
+        cb *= 2
+    return best
+
+
+def blocked_layout_ok(rows: int, k: int, n: int, key_digits: int) -> bool:
+    """True when keygen should store the [D, kN, rows*N] blocked operator
+    layout for this key shape: the resident kernel's VMEM gate fails but a
+    column slab fits. Mirrors matvec_fits' alignment conditions."""
+    kn, rows_n = k * n, rows * n
+    return (
+        key_digits * kn * rows_n > W_VMEM_BUDGET
+        and n >= 128
+        and n % 128 == 0
+        and kn % 128 == 0
+        and rows_n % 128 == 0
+        and colblock_cb(kn, rows_n, key_digits) is not None
+    )
+
+
+def to_blocked_layout(w_digits):
+    """[kN, D*rows_n] int8 -> [D, kN, rows_n]: the streamed-slab layout
+    (int8 tiling wants the (kN, CB) plane in the last two dims; D=4 in the
+    middle would force sublane padding)."""
+    from .. import conv_mxu
+
+    kn, dcols = w_digits.shape
+    d = conv_mxu.KEY_DIGITS
+    return jnp.transpose(w_digits.reshape(kn, d, dcols // d), (1, 0, 2))
+
+
+def matvec_digits_colblock(
+    ring, w3, rows: int, v, v_digits: int, *, interpret: bool = False
+):
+    """Column-blocked digit matvec against a [D, kN, rows*N] blocked
+    operator (see to_blocked_layout). Grid (batch tile OUTER, column slab
+    inner): the input slab loads once per batch tile and stays resident
+    while operator slabs stream from HBM; each step emits one [TILE_B, CB]
+    output block through the fused digits + fold. Bit-identical to
+    matvec_digits / matvec_digits_pallas (tests/test_pallas.py)."""
+    from .. import conv_mxu
+
+    d, kn, rows_n = w3.shape
+    n = v.shape[-1]
+    assert rows_n == rows * n
+    cb = colblock_cb(kn, rows_n, d)
+    batch = v.shape[:-2]
+    bflat = 1
+    for dim in batch:
+        bflat *= dim
+    v2 = v.reshape((bflat, kn))
+    pad = (-bflat) % TILE_B
+    if pad:
+        v2 = jnp.pad(v2, ((0, pad), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(
+            _matvec_colblock_kernel, ring, v_digits, conv_mxu.KEY_DIGITS
+        ),
+        grid=(pl.cdiv(v2.shape[0], TILE_B), rows_n // cb),
+        in_specs=[
+            pl.BlockSpec(
+                (TILE_B, kn), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (d, kn, cb), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_B, cb), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((v2.shape[0], rows_n), jnp.int32),
+        interpret=interpret,
+    )(v2, w3)
+    return out[:bflat].reshape(batch + (rows, n))
 
 
 def matvec_digits_pallas(

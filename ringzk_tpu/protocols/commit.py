@@ -177,9 +177,15 @@ def keygen(key, params: Params, n_deg: int, batch_shape=()) -> CommitmentKey:
         and params.q <= conv_mxu.digit_capacity(conv_mxu.KEY_DIGITS)
     ):
         # device-side build: a D2H here would permanently degrade axon
-        # dispatch (see conv_mxu.build_operator_digits_device docstring)
-        a1_dig = conv_mxu.build_operator_digits_device(a1, ring)
-        a2_dig = conv_mxu.build_operator_digits_device(a2, ring)
+        # dispatch (see conv_mxu.build_operator_digits_device docstring).
+        # Operators past the resident-kernel VMEM gate are stored in the
+        # streamed [D, kN, rowsN] layout for the column-blocked kernel.
+        a1_dig = conv_mxu.maybe_blocked_layout(
+            conv_mxu.build_operator_digits_device(a1, ring), n, k, n_deg
+        )
+        a2_dig = conv_mxu.maybe_blocked_layout(
+            conv_mxu.build_operator_digits_device(a2, ring), l, k, n_deg
+        )
 
     # keys are multiplicative constants -> cached in const (Montgomery) form
     return CommitmentKey(
@@ -241,6 +247,7 @@ def matvec_key(ring: RingContext, ck: CommitmentKey, which: str, v, bound: int):
             _use_fused_a()
             and ck.a1_dig is not None
             and ck.a2_dig is not None
+            and ck.a1_dig.ndim == 2  # 2D layout only (_fused_a_dig reshape)
             and ndig <= conv_mxu.KEY_DIGITS
         ):
             rows = ck.a1.shape[-3] + ck.a2.shape[-3]

@@ -9,14 +9,22 @@
   5. 64K opening proofs with psum batch-verify (host-sharded runner;
      degenerate single-host form when only one process exists)
 
-Emits one JSON line per config. Run on TPU with plain `python` (background;
-first process pays the axon tunnel), or on CPU via the pytest-cpu env vars.
+Emits one JSON line per config, each with the shared self-diagnosis fields
+(utils/benchtime.py): window min/median/max spread, a fetch-forced
+cross-check, and the engine fingerprint on the first line. All
+fetch-forced windows run LAST, in config order (``ff_order``), because a
+D2H can degrade subsequent tunnel dispatch -- a cascade shows up as
+collapsing fetch_forced with rising ff_order rather than silently
+poisoning the medians. Configs 1-4's round-4 10-30% dip vs round 3 needed
+exactly this record to attribute (tier drift vs real regression).
+
+Run on TPU with plain `python` (background; first process pays the axon
+tunnel), or on CPU via the pytest-cpu env vars.
 """
 
 import argparse
 import json
 import sys
-import time
 
 import os
 
@@ -29,38 +37,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-
-def timeit(fn, args, iters, windows=5):
-    """Median of ``windows`` timing windows (the axon tunnel's dispatch
-    rate swings ~20% between single windows; see bench.py)."""
-    out = fn(*args)
-    jax.block_until_ready(out)
-    for _ in range(2):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / iters)
-    times.sort()
-    return times[len(times) // 2]
-
-
-def emit(name, seconds, batch):
-    print(
-        json.dumps(
-            {
-                "config": name,
-                "seconds_per_batch": round(seconds, 6),
-                "proofs_per_s": round(batch / seconds, 1),
-                "batch": batch,
-            }
-        ),
-        flush=True,
-    )
+from ringzk_tpu.utils.benchtime import (
+    engine_fingerprint,
+    fetch_forced_pass,
+    timed_row,
+    windows_record,
+)
 
 
 def main():
@@ -76,10 +58,23 @@ def main():
     kk, kp = jax.random.split(jax.random.PRNGKey(0))
     ck512 = rz.keygen(kk, params, 512)
 
+    configs = []  # (record, fn, fargs, batch)
+
+    def measure(name, fn, fargs, batch):
+        dt, dts = timed_row(fn, fargs, args.iters)
+        rec = {
+            "config": name,
+            "seconds_per_batch": round(dt, 6),
+            "proofs_per_s": round(batch / dt, 1),
+            "batch": batch,
+            "windows": windows_record(batch, dt, dts),
+        }
+        configs.append((rec, fn, fargs, batch))
+
     # config 1: single proof, message [1,2,3,4]
     x1 = rz.prepare_value(params, [[[1, 2, 3, 4]]], 512)  # [1, l, N]
     f1 = jax.jit(lambda k: open_mod.roundtrip(k, ck512, x1, params))
-    emit("1_single_open_N512", timeit(f1, (kp,), args.iters), 1)
+    measure("1_single_open_N512", f1, (kp,), 1)
 
     # config 2: 1024 batched opening proofs
     x2 = jax.random.randint(
@@ -87,7 +82,7 @@ def main():
         dtype=jnp.int32,
     )
     f2 = jax.jit(lambda k: open_mod.roundtrip(k, ck512, x2, params))
-    emit("2_batched_open_1024_N512", timeit(f2, (kp,), args.iters), 1024)
+    measure("2_batched_open_1024_N512", f2, (kp,), 1024)
 
     # config 3: linear, batch 256, scalar length 2
     g3 = rz.prepare_scalar(params, [[3, 5]] * 256, 512)  # [256, N], 2 coeffs
@@ -96,7 +91,7 @@ def main():
         dtype=jnp.int32,
     )
     f3 = jax.jit(lambda k: linear.roundtrip(k, ck512, g3, x3, params))
-    emit("3_linear_256_N512_slen2", timeit(f3, (kp,), args.iters), 256)
+    measure("3_linear_256_N512_slen2", f3, (kp,), 256)
 
     # config 4: sum with 8 commitments at N=1024
     ck1024 = rz.keygen(jax.random.PRNGKey(3), params, 1024)
@@ -109,9 +104,18 @@ def main():
         dtype=jnp.int32,
     )
     f4 = jax.jit(lambda k: sum_mod.roundtrip(k, ck1024, gs4, xs4, params))
-    emit("4_sum_VL8_N1024_batch32", timeit(f4, (kp,), args.iters), 32)
+    measure("4_sum_VL8_N1024_batch32", f4, (kp,), 32)
 
-    # config 5: 64K proofs, host-sharded psum batch-verify
+    # fetch-forced cross-check pass: LAST, in config order
+    fetch_forced_pass(configs, args.iters)
+    fp = engine_fingerprint()
+    for i, (rec, _f, _a, _b) in enumerate(configs):
+        if i == 0:
+            rec["engine"] = fp
+        print(json.dumps(rec), flush=True)
+
+    # config 5: 64K proofs, host-sharded psum batch-verify (after the ff
+    # pass -- it uses its own runner/timing and fetches internally)
     if not args.skip_config5:
         from ringzk_tpu.parallel import multihost
 

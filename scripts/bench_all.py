@@ -13,14 +13,17 @@ sum) as batched TPU programs, plus the BASELINE.json measurement configs:
 
 Emits a github-action-benchmark-style JSON list (the reference CI publishes
 Criterion means the same way -- .github/scripts/extract-benchmarks.sh) to
---out, and a human table to stderr.
+--out, and a human table to stderr. Every row carries the shared
+self-diagnosis fields (utils/benchtime.py): window min/median/max spread,
+a fetch-forced cross-check (all fetch-forced windows run LAST, in row
+order -- ``ff_order`` records the position), and the file-level record
+carries the engine fingerprint.
 """
 
 import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -31,15 +34,12 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 import jax
 import jax.numpy as jnp
 
-
-def timeit(fn, args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+from ringzk_tpu.utils.benchtime import (
+    engine_fingerprint,
+    fetch_forced_pass,
+    timed_row,
+    windows_record,
+)
 
 
 def main():
@@ -57,13 +57,23 @@ def main():
     n_deg = 64 if args.quick else 512
     b = 8 if args.quick else args.batch
     results = []
+    ff_rows = []  # (record, fn, args, batch) -- fetch-forced pass runs last
 
-    def record(name, seconds_per_batch, batch, unit_scale=1e9):
-        per_op_ns = seconds_per_batch / batch * unit_scale
-        results.append({"name": name, "unit": "ns/op", "value": round(per_op_ns, 1),
-                        "extra": f"batch={batch}, N={n_deg}"})
+    def record(name, fn, fargs, batch, unit_scale=1e9):
+        dt, dts = timed_row(fn, fargs, args.iters)
+        per_op_ns = dt / batch * unit_scale
+        rec = {
+            "name": name,
+            "unit": "ns/op",
+            "value": round(per_op_ns, 1),
+            "extra": f"batch={batch}, N={n_deg}",
+            "windows": windows_record(batch, dt, dts),
+        }
+        results.append(rec)
+        ff_rows.append((rec, fn, fargs, batch))
         print(f"{name:36s} {per_op_ns:14.1f} ns/op  "
-              f"({batch / seconds_per_batch:12.1f} op/s)", file=sys.stderr)
+              f"({batch / dt:12.1f} op/s)", file=sys.stderr)
+        return dt
 
     kk, kx, kg, kp, kc = jax.random.split(jax.random.PRNGKey(0), 5)
     ck = rz.keygen(kk, params, n_deg)
@@ -74,36 +84,36 @@ def main():
     # ---- open proof phases (bench.rs:35-109) ----
     commit_f = jax.jit(lambda k, x: open_mod.prover_commit(k, ck, x, params))
     rctx, pcom = commit_f(kp, x)
-    record("open_proof_commit", timeit(commit_f, (kp, x), args.iters), b)
+    record("open_proof_commit", commit_f, (kp, x), b)
 
     chal_f = jax.jit(lambda k, pc: open_mod.generate_challenge(k, pc, params))
     vctx, chal = chal_f(kc, pcom)
-    record("open_proof_generate_challenge", timeit(chal_f, (kc, pcom), args.iters), b)
+    record("open_proof_generate_challenge", chal_f, (kc, pcom), b)
 
     resp_f = jax.jit(lambda rc, ch: open_mod.create_response(rc, ch, params))
     resp = resp_f(rctx, chal)
-    record("open_proof_create_response", timeit(resp_f, (rctx, chal), args.iters), b)
+    record("open_proof_create_response", resp_f, (rctx, chal), b)
 
     verify_f = jax.jit(lambda r, v: open_mod.verify(ck, r, v, params))
-    record("open_proof_verify", timeit(verify_f, (resp, vctx), args.iters), b)
+    record("open_proof_verify", verify_f, (resp, vctx), b)
 
     # ---- linear proof phases (bench.rs:113-196) ----
     lb = max(1, b // 4)
     xl, gl = x[:lb], g[:lb]
     lcommit_f = jax.jit(lambda k: linear.prover_commit(k, ck, gl, xl, params))
     lrctx, lpcom = lcommit_f(kp)
-    record("linear_proof_commit", timeit(lcommit_f, (kp,), args.iters), lb)
+    record("linear_proof_commit", lcommit_f, (kp,), lb)
 
     lchal_f = jax.jit(lambda k, pc: linear.generate_challenge(k, pc, params))
     lvctx, lchal = lchal_f(kc, lpcom)
-    record("linear_proof_generate_challenge", timeit(lchal_f, (kc, lpcom), args.iters), lb)
+    record("linear_proof_generate_challenge", lchal_f, (kc, lpcom), lb)
 
     lresp_f = jax.jit(lambda rc, ch: linear.create_response(rc, ch, params))
     lresp = lresp_f(lrctx, lchal)
-    record("linear_proof_create_response", timeit(lresp_f, (lrctx, lchal), args.iters), lb)
+    record("linear_proof_create_response", lresp_f, (lrctx, lchal), lb)
 
     lverify_f = jax.jit(lambda r, v: linear.verify(ck, r, v, params))
-    record("linear_proof_verify", timeit(lverify_f, (lresp, lvctx), args.iters), lb)
+    record("linear_proof_verify", lverify_f, (lresp, lvctx), lb)
 
     # ---- sum proof phases, VL=4 (bench.rs:202-305) ----
     sb = max(1, b // 8)
@@ -114,31 +124,49 @@ def main():
                             dtype=jnp.int32)
     scommit_f = jax.jit(lambda k: sum_mod.prover_commit(k, ck, gs, xs, params))
     srctx, spcom = scommit_f(kp)
-    record("sum_proof_commit", timeit(scommit_f, (kp,), args.iters), sb)
+    record("sum_proof_commit", scommit_f, (kp,), sb)
 
     schal_f = jax.jit(lambda k, pc: sum_mod.generate_challenge(k, pc, params))
     svctx, schal = schal_f(kc, spcom)
-    record("sum_proof_generate_challenge", timeit(schal_f, (kc, spcom), args.iters), sb)
+    record("sum_proof_generate_challenge", schal_f, (kc, spcom), sb)
 
     sresp_f = jax.jit(lambda rc, ch: sum_mod.create_response(rc, ch, params))
     sresp = sresp_f(srctx, schal)
-    record("sum_proof_create_response", timeit(sresp_f, (srctx, schal), args.iters), sb)
+    record("sum_proof_create_response", sresp_f, (srctx, schal), sb)
 
     sverify_f = jax.jit(lambda r, v: sum_mod.verify(ck, r, v, params))
-    record("sum_proof_verify", timeit(sverify_f, (sresp, svctx), args.iters), sb)
+    record("sum_proof_verify", sverify_f, (sresp, svctx), sb)
 
     # ---- end-to-end throughput (the headline) ----
     rt = jax.jit(lambda k, x: open_mod.roundtrip(k, ck, x, params))
-    dt = timeit(rt, (kp, x), args.iters)
-    record("open_proof_full_roundtrip", dt, b)
+    dt = record("open_proof_full_roundtrip", rt, (kp, x), b)
     # Human throughput line only (stderr): the JSON stays uniformly
     # smaller-is-better ns/op so github-action-benchmark's customSmallerIsBetter
     # regression alerting is meaningful for every entry.
     print(f"{'open_proofs_per_second':36s} {b / dt:14.1f} proofs/s", file=sys.stderr)
 
+    # fetch-forced cross-check pass, LAST and in row order (a D2H can
+    # degrade subsequent dispatch on the tunneled backend; ff_order makes
+    # any cascade visible in the record)
+    fetch_forced_pass(ff_rows, args.iters)
+    for rec in results:
+        ff = rec["fetch_forced"]
+        med = rec["windows"]["median"]
+        flag = "  <-- ff disagrees" if ff < 0.8 * med else ""
+        print(
+            f"{rec['name']:36s} ff {ff:12.1f} op/s (median {med:.1f}, "
+            f"ff_order {rec['ff_order']}){flag}",
+            file=sys.stderr,
+        )
+
+    payload = {"engine": engine_fingerprint(), "rows": results}
     with open(args.out, "w") as f:
+        # github-action-benchmark consumes the bare list; the sibling
+        # .meta.json carries the engine fingerprint + diagnosis fields
         json.dump(results, f, indent=1)
-    print(f"wrote {args.out}", file=sys.stderr)
+    with open(args.out + ".meta.json", "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"wrote {args.out} (+.meta.json)", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -249,3 +249,82 @@ def test_pallas_matvec_kernel_bit_identical():
     with env_override("RINGZK_PALLAS_MATVEC", "1"):
         ok, op_ok = open_mod.roundtrip(jax.random.PRNGKey(43), ck, x, params)
     assert bool(jnp.all(ok)) and bool(jnp.all(op_ok))
+
+
+def test_pallas_matvec_colblock_bit_identical():
+    """The column-blocked digit-matvec kernel (operators past the resident
+    VMEM gate -- N >= 1024) must equal the XLA matmul+fold path bit for
+    bit, for both layouts, across digit counts, and through the keygen
+    dispatch."""
+    from conftest import env_override
+    from ringzk_tpu.ops import conv_mxu
+    from ringzk_tpu.ops.ntt import get_ring
+    from ringzk_tpu.ops.pallas import matvec_kernel
+
+    q = Q
+    n_deg = 1024
+    k, rows = 3, 1
+    ring = get_ring(n_deg, q)
+    a = jax.random.randint(
+        jax.random.PRNGKey(50), (rows, k, n_deg), -(q // 2), q // 2 + 1,
+        jnp.int32,
+    )
+    w2 = conv_mxu.build_operator_digits_device(a, ring)
+    assert not matvec_kernel.matvec_fits(w2, n_deg)  # past the resident gate
+    assert matvec_kernel.blocked_layout_ok(rows, k, n_deg, conv_mxu.KEY_DIGITS)
+    w3 = matvec_kernel.to_blocked_layout(w2)
+    assert w3.shape == (conv_mxu.KEY_DIGITS, k * n_deg, rows * n_deg)
+
+    for ndig, bound in [(1, 1), (3, 10**6)]:
+        v = jax.random.randint(
+            jax.random.PRNGKey(51), (5, k, n_deg), -bound, bound + 1, jnp.int32
+        )
+        want = np.asarray(conv_mxu.matvec_digits(ring, w2, rows, v, ndig))
+        got = np.asarray(
+            matvec_kernel.matvec_digits_colblock(
+                ring, w3, rows, v, ndig, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+        # dispatcher: 3D operator routes to the colblock kernel when the
+        # kernel is on, and reconstructs the 2D layout when it is off
+        with env_override("RINGZK_PALLAS_MATVEC", "1"):
+            got2 = np.asarray(conv_mxu.matvec_digits(ring, w3, rows, v, ndig))
+        with env_override("RINGZK_PALLAS_MATVEC", "0"):
+            got3 = np.asarray(conv_mxu.matvec_digits(ring, w3, rows, v, ndig))
+        np.testing.assert_array_equal(got2, want)
+        np.testing.assert_array_equal(got3, want)
+
+    # non-TILE_B-divisible batch exercises the pad path
+    v = jax.random.randint(
+        jax.random.PRNGKey(52), (3, k, n_deg), -1, 2, jnp.int32
+    )
+    want = np.asarray(conv_mxu.matvec_digits(ring, w2, rows, v, 1))
+    got = np.asarray(
+        matvec_kernel.matvec_digits_colblock(ring, w3, rows, v, 1, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_keygen_blocked_layout_dispatch():
+    """keygen stores the streamed [D, kN, rowsN] layout exactly when the
+    colblock kernel is the active path (RINGZK_PALLAS_MATVEC=1, operator
+    past the resident gate), and the full open roundtrip verifies on it."""
+    from conftest import env_override
+    from ringzk_tpu import Params, keygen
+    from ringzk_tpu.protocols import open as open_mod
+
+    params = Params()
+    n_deg = 1024
+    with env_override("RINGZK_PALLAS_MATVEC", "1"):
+        ck = keygen(jax.random.PRNGKey(53), params, n_deg)
+        assert ck.a1_dig is not None and ck.a1_dig.ndim == 3
+        x = jax.random.randint(
+            jax.random.PRNGKey(54), (2, params.l, n_deg), -params.q,
+            params.q + 1, jnp.int32,
+        )
+        ok, op_ok = open_mod.roundtrip(jax.random.PRNGKey(55), ck, x, params)
+        assert bool(jnp.all(ok)) and bool(jnp.all(op_ok))
+    with env_override("RINGZK_PALLAS_MATVEC", "0"):
+        ck2 = keygen(jax.random.PRNGKey(53), params, n_deg)
+        assert ck2.a1_dig is not None and ck2.a1_dig.ndim == 2
