@@ -385,6 +385,12 @@ class RingContext:
         if num is None:
             num = self.num_primes
         if self.wide:
+            if _use_pallas():
+                from .pallas import ntt_kernel
+
+                return ntt_kernel.fwd_wide_all_pallas(
+                    self, x, num, interpret=_pallas_interpret()
+                )
             return self._fwd_wide(x, num)
         if _use_pallas():
             from .pallas import ntt_kernel
@@ -452,9 +458,13 @@ class RingContext:
         before the outer multiply, or reconstruction silently wraps mod M.
         """
         num = xhat.shape[0]
-        if _use_pallas() and not self.wide:
+        if _use_pallas():
             from .pallas import ntt_kernel
 
+            if self.wide:
+                return ntt_kernel.inv_wide_all_pallas(
+                    self, xhat, interpret=_pallas_interpret()
+                )
             return ntt_kernel.inv_all_pallas(self, xhat, interpret=_pallas_interpret())
         ys = []
         for i in range(num):
@@ -466,9 +476,27 @@ class RingContext:
     def _crt_to_centered(self, ys):
         """Garner reconstruction of [y mod p_i] -> centered int32 (int64 for
         wide rings) mod q, for any prime-subset size len(ys)."""
+        if self.wide:
+            lo, hi = self._crt_to_pair(ys)
+            return self.qctx.to_centered_i64(lo, hi)
         num = len(ys)
         g = self._garner(num)
-        # mixed-radix digits: x = v0 + v1*p0 + v2*p0*p1 + ..., 0 <= v_i < p_i
+        vs, gt = self._crt_digits(ys, g)
+        # x mod q = sum_i v_i * (prod_{j<i} p_j mod q)  -  [x>M/2]*(M mod q)
+        qc = self.qctx
+        acc = qc.reduce_u32(vs[0])
+        for i in range(1, num):
+            acc = qc.add(acc, qc.mont_mul(vs[i], jnp.uint32(g["k_mont"][i - 1])))
+        acc = qc.sub(acc, jnp.where(gt, jnp.uint32(g["m_mod_q"]), jnp.uint32(0)))
+        return self.to_centered(acc)
+
+    def _crt_digits(self, ys, g):
+        """Garner mixed-radix digits of [y mod p_i] plus the signed-
+        centering flag: x = v0 + v1*p0 + v2*p0*p1 + ... with 0 <= v_i < p_i,
+        gt = (x > floor(M/2)) via lexicographic digit compare (most
+        significant digit last). Pure uint32 -- shared by the XLA paths and
+        the fused Pallas inverse kernels (narrow and wide)."""
+        num = len(ys)
         vs = [ys[0]]
         for i in range(1, num):
             mi = self.mont[i]
@@ -481,39 +509,37 @@ class RingContext:
                 t = mi.sub(t, mi.mont_mul(mi.reduce_u32(vs[j]), pj_mont))
             vs.append(mi.mont_mul(t, jnp.uint32(g["c_mont"][i - 1])))
 
-        # signed centering: x > floor(M/2)  <=>  digits > half_digits (lex,
-        # most significant digit last)
         hs = [jnp.uint32(h) for h in g["half_digits"]]
         gt = vs[-1] > hs[-1]
         eq = vs[-1] == hs[-1]
         for i in range(num - 2, -1, -1):
             gt = gt | (eq & (vs[i] > hs[i]))
             eq = eq & (vs[i] == hs[i])
+        return vs, gt
 
-        # x mod q = sum_i v_i * (prod_{j<i} p_j mod q)  -  [x>M/2]*(M mod q)
+    def _crt_to_pair(self, ys):
+        """Wide-ring Garner reconstruction to a [0, q) (lo, hi) uint32 limb
+        pair -- everything except the final int64 bitcast, so the fused
+        Pallas inverse kernel can run it in VMEM (Mosaic stays in uint32;
+        ops/mont64.py fold on limb pairs, the only mod-q products outside
+        the NTT domain)."""
+        num = len(ys)
+        g = self._garner(num)
+        vs, gt = self._crt_digits(ys, g)
         qc = self.qctx
-        if self.wide:
-            # ops.mont64 fold on uint32 limb pairs (the only mod-q products
-            # outside the NTT domain; see ops/mont64.py module doc)
-            acc_lo, acc_hi = vs[0], jnp.zeros_like(vs[0])  # v0 < p0 < q
-            for i in range(1, num):
-                k_lo, k_hi = g["k_mont"][i - 1]
-                t_lo, t_hi = qc.redc_small(vs[i], k_lo, k_hi)
-                acc_lo, acc_hi = qc.add(acc_lo, acc_hi, t_lo, t_hi)
-            m_lo, m_hi = g["m_mod_q"]
-            z = jnp.uint32(0)
-            acc_lo, acc_hi = qc.sub(
-                acc_lo,
-                acc_hi,
-                jnp.where(gt, jnp.uint32(m_lo), z),
-                jnp.where(gt, jnp.uint32(m_hi), z),
-            )
-            return qc.to_centered_i64(acc_lo, acc_hi)
-        acc = qc.reduce_u32(vs[0])
+        acc_lo, acc_hi = vs[0], jnp.zeros_like(vs[0])  # v0 < p0 < q
         for i in range(1, num):
-            acc = qc.add(acc, qc.mont_mul(vs[i], jnp.uint32(g["k_mont"][i - 1])))
-        acc = qc.sub(acc, jnp.where(gt, jnp.uint32(g["m_mod_q"]), jnp.uint32(0)))
-        return self.to_centered(acc)
+            k_lo, k_hi = g["k_mont"][i - 1]
+            t_lo, t_hi = qc.redc_small(vs[i], k_lo, k_hi)
+            acc_lo, acc_hi = qc.add(acc_lo, acc_hi, t_lo, t_hi)
+        m_lo, m_hi = g["m_mod_q"]
+        z = jnp.uint32(0)
+        return qc.sub(
+            acc_lo,
+            acc_hi,
+            jnp.where(gt, jnp.uint32(m_lo), z),
+            jnp.where(gt, jnp.uint32(m_hi), z),
+        )
 
     def to_centered(self, u):
         """[0, q) uint32 -> centered int32 in [-(q-1)/2, q/2]."""

@@ -488,3 +488,176 @@ def inv_one_pallas(ctx: MontCtx, w_inv, n_inv_scale, x, interpret: bool = False)
     for d in lead:
         flat *= d
     return out[:flat].reshape(lead + (n,))
+
+
+# ---------------------------------------------------------------------------
+# Wide-ring (modulus >= 2^32) fused kernels.
+#
+# The per-prime butterflies are IDENTICAL to the narrow kernels (uint32
+# Shoup/Harvey lanes); only the ring boundary differs: centered residues are
+# int64, which Mosaic handles poorly -- so the int64 <-> uint32-limb bitcasts
+# stay OUTSIDE the kernel (plain XLA elementwise) and the kernels speak pure
+# uint32: the forward takes (lo, hi-signed) limb planes and folds them into
+# each prime's residue in VMEM; the inverse runs the per-prime INTTs plus the
+# ops/mont64 Garner limb-pair fold (RingContext._crt_to_pair) and emits the
+# [0, q) (lo, hi) planes. Bit-identical to the XLA wide path
+# (tests/test_bigmod.py).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_stages_strict(ctx: MontCtx, n: int, x, w):
+    """Forward stages with per-stage full reduction: x uint32 [..., N] in
+    [0, p) -> [0, p). Needed for primes with 4p >= 2^32 (the EXT_PRIMES
+    above 2^30 that wide rings pull in) where the Harvey lazy form's
+    [0, 4p) working range no longer fits uint32. Same algebra as
+    ops/ntt._fwd_one."""
+    logn = n.bit_length() - 1
+    lane = jax.lax.broadcasted_iota(jnp.uint32, x.shape, x.ndim - 1)
+    for s in range(logn):
+        t = n >> (s + 1)
+        is_lo = (lane & np.uint32(t)) == 0
+        xs = jnp.where(is_lo, _roll_lanes(x, -t), _roll_lanes(x, t))
+        prod = ctx.shoup_mul(w[0, s, :], w[1, s, :], jnp.where(is_lo, xs, x))
+        x = jnp.where(is_lo, ctx.add(x, prod), ctx.sub(xs, prod))
+    return x
+
+
+def _inv_stages_strict(ctx: MontCtx, n: int, n_inv_scale, x, w):
+    """Inverse stages + N^{-1} scaling, strict form (see
+    _fwd_stages_strict): x uint32 [..., N] in [0, p) -> [0, p)."""
+    logn = n.bit_length() - 1
+    lane = jax.lax.broadcasted_iota(jnp.uint32, x.shape, x.ndim - 1)
+    for s in range(logn):
+        t = 1 << s
+        is_lo = (lane & np.uint32(t)) == 0
+        xs = jnp.where(is_lo, _roll_lanes(x, -t), _roll_lanes(x, t))
+        x = jnp.where(
+            is_lo,
+            ctx.add(x, xs),
+            ctx.shoup_mul(w[0, s, :], w[1, s, :], ctx.sub(xs, x)),
+        )
+    return ctx.shoup_mul(np.uint32(n_inv_scale[0]), np.uint32(n_inv_scale[1]), x)
+
+
+def _fwd_stages(ctx: MontCtx, n: int, x, w):
+    """Lazy Harvey stages when 4p fits uint32 (every base prime), strict
+    per-stage reduction otherwise. Input [0, p) valid for both."""
+    if 4 * ctx.p < 2**32:
+        return _fwd_stages_lazy(ctx, n, x, w)
+    return _fwd_stages_strict(ctx, n, x, w)
+
+
+def _inv_stages(ctx: MontCtx, n: int, n_inv_scale, x, w):
+    if 4 * ctx.p < 2**32:
+        return _inv_stages_lazy(ctx, n, n_inv_scale, x, w)
+    return _inv_stages_strict(ctx, n, n_inv_scale, x, w)
+
+
+def _tile_for_wide(n: int, rows: int, num: int) -> int:
+    """Wide rings carry ``num`` prime planes (up to 8 vs the narrow 3):
+    scale the narrow VMEM-budget tile down by the extra planes."""
+    budget = max(8, (TILE_B * 512 * 3) // (max(n, 512) * max(num, 3)))
+    return max(1, min(TILE_B, rows, budget))
+
+
+def _fwd_wide_kernel(ring, num: int, n: int, lo_ref, hi_ref, w_ref, o_ref):
+    """(lo uint32, hi int32) limb blocks -> all ``num`` CRT NTT images.
+    Per prime: x mod p = lo mod p + (hi signed) * (2^32 mod p) -- the same
+    limb-wise reduction as RingContext._fwd_wide, fused with the stages."""
+    lo = lo_ref[...]
+    hi = hi_ref[...]
+    for i in range(num):
+        ctx = ring.mont[i]
+        shift = jnp.uint32(ctx.h_to_mont((1 << 32) % ctx.p))
+        xi = ctx.add(
+            ctx.reduce_u32(lo),
+            ctx.mont_mul(ctx.reduce_i32_centered(hi), shift),
+        )
+        o_ref[i] = _fwd_stages(ctx, n, xi, w_ref[i])
+
+
+def _inv_wide_kernel(ring, num: int, n: int, x_ref, w_ref, lo_ref, hi_ref):
+    """All per-prime inverse NTTs + the Garner limb-pair CRT in VMEM; the
+    final int64 bitcast happens outside (inv_wide_all_pallas)."""
+    ys = []
+    for i in range(num):
+        ctx = ring.mont[i]
+        tbl = ring._tables[i]
+        ys.append(_inv_stages(ctx, n, tbl[2], x_ref[i], w_ref[i]))
+    lo, hi = ring._crt_to_pair(ys)
+    lo_ref[...] = lo
+    hi_ref[...] = hi
+
+
+def fwd_wide_all_pallas(ring, x, num: int, interpret: bool = False):
+    """Centered int64 [..., N] -> plain NTT domain uint32 [num, ..., N]."""
+    from ..mont64 import Mont64Ctx
+
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    lo, hi = Mont64Ctx.split_i64(jnp.asarray(x, jnp.int64))
+    lo2 = lo.reshape((-1, n))
+    hi2 = hi.reshape((-1, n))
+    rows = lo2.shape[0]
+    tile = _tile_for_wide(n, rows, num)
+    pad_rows = (-rows) % tile
+    if pad_rows:
+        lo2 = jnp.pad(lo2, ((0, pad_rows), (0, 0)))
+        hi2 = jnp.pad(hi2, ((0, pad_rows), (0, 0)))
+    w = _stacked_tables(ring, num, fwd=True)
+    logn = n.bit_length() - 1
+    out = pl.pallas_call(
+        functools.partial(_fwd_wide_kernel, ring, num, n),
+        grid=(pl.cdiv(lo2.shape[0], tile),),
+        in_specs=[
+            pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (num, 2, logn, n), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (num, tile, n), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((num, lo2.shape[0], n), jnp.uint32),
+        interpret=interpret,
+    )(lo2, hi2, w)
+    return out[:, :rows].reshape((num,) + lead + (n,))
+
+
+def inv_wide_all_pallas(ring, xhat, interpret: bool = False):
+    """Plain NTT domain uint32 [num, ..., N] -> centered int64 [..., N]."""
+    num = xhat.shape[0]
+    n = xhat.shape[-1]
+    lead = xhat.shape[1:-1]
+    x2d = xhat.reshape((num, -1, n))
+    rows = x2d.shape[1]
+    tile = _tile_for_wide(n, rows, num)
+    pad_rows = (-rows) % tile
+    if pad_rows:
+        x2d = jnp.pad(x2d, ((0, 0), (0, pad_rows), (0, 0)))
+    w = _stacked_tables(ring, num, fwd=False)
+    logn = n.bit_length() - 1
+    lo, hi = pl.pallas_call(
+        functools.partial(_inv_wide_kernel, ring, num, n),
+        grid=(pl.cdiv(x2d.shape[1], tile),),
+        in_specs=[
+            pl.BlockSpec(
+                (num, tile, n), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (num, 2, logn, n), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x2d.shape[1], n), jnp.uint32),
+            jax.ShapeDtypeStruct((x2d.shape[1], n), jnp.uint32),
+        ),
+        interpret=interpret,
+    )(x2d, w)
+    out = ring.qctx.to_centered_i64(lo[:rows], hi[:rows])
+    return out.reshape(lead + (n,))
