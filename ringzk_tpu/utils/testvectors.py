@@ -59,19 +59,19 @@ def check_rust_vector(vec: dict) -> dict:
 
     import jax.numpy as jnp
 
-    a1 = jnp.asarray(vec["ck"]["a1"], jnp.int32)   # [n, k, N]
-    a2 = jnp.asarray(vec["ck"]["a2"], jnp.int32)   # [l, k, N]
-    x = jnp.asarray(vec["x"], jnp.int32)           # [l, N]
-    r = jnp.asarray(vec["r"], jnp.int32)           # [k, N]
-    y = jnp.asarray(vec["y"], jnp.int32)           # [k, N]
-    d = jnp.asarray(vec["d"], jnp.int32)           # [N]
+    a1 = jnp.asarray(vec["ck"]["a1"], ring.dtype)   # [n, k, N]
+    a2 = jnp.asarray(vec["ck"]["a2"], ring.dtype)   # [l, k, N]
+    x = jnp.asarray(vec["x"], ring.dtype)           # [l, N]
+    r = jnp.asarray(vec["r"], ring.dtype)           # [k, N]
+    y = jnp.asarray(vec["y"], ring.dtype)           # [k, N]
+    d = jnp.asarray(vec["d"], ring.dtype)           # [N]
 
     a_hat = ring.fwd_const(jnp.concatenate([a1, a2], axis=0))
     a1_hat = ring.fwd_const(a1)
 
     # c = [a1; a2].r + [0; x]
     zfull = jnp.concatenate(
-        [jnp.zeros((params.n, n_deg), jnp.int32), x], axis=0
+        [jnp.zeros((params.n, n_deg), ring.dtype), x], axis=0
     )
     c = zq.add_centered(ring.qctx, mat.matvec(ring, a_hat, ring.fwd(r)), zfull)
     # t = a1.y
@@ -116,15 +116,15 @@ def check_rust_vector_linear(vec: dict) -> dict:
 
     import jax.numpy as jnp
 
-    a1 = jnp.asarray(vec["ck"]["a1"], jnp.int32)
-    a2 = jnp.asarray(vec["ck"]["a2"], jnp.int32)
-    g = jnp.asarray(vec["g"], jnp.int32)
-    x = jnp.asarray(vec["x"], jnp.int32)
-    r = jnp.asarray(vec["r"], jnp.int32)
-    rp = jnp.asarray(vec["rp"], jnp.int32)
-    y = jnp.asarray(vec["y"], jnp.int32)
-    yp = jnp.asarray(vec["yp"], jnp.int32)
-    d = jnp.asarray(vec["d"], jnp.int32)
+    a1 = jnp.asarray(vec["ck"]["a1"], ring.dtype)
+    a2 = jnp.asarray(vec["ck"]["a2"], ring.dtype)
+    g = jnp.asarray(vec["g"], ring.dtype)
+    x = jnp.asarray(vec["x"], ring.dtype)
+    r = jnp.asarray(vec["r"], ring.dtype)
+    rp = jnp.asarray(vec["rp"], ring.dtype)
+    y = jnp.asarray(vec["y"], ring.dtype)
+    yp = jnp.asarray(vec["yp"], ring.dtype)
+    d = jnp.asarray(vec["d"], ring.dtype)
 
     a_hat = ring.fwd_const(jnp.concatenate([a1, a2], axis=0))
     a1_hat = ring.fwd_const(a1)
@@ -134,7 +134,7 @@ def check_rust_vector_linear(vec: dict) -> dict:
 
     def commit_value(xv, rv):
         zfull = jnp.concatenate(
-            [jnp.zeros((params.n, n_deg), jnp.int32), xv], axis=0
+            [jnp.zeros((params.n, n_deg), ring.dtype), xv], axis=0
         )
         return zq.add_centered(
             ring.qctx, mat.matvec(ring, a_hat, ring.fwd(rv)), zfull
@@ -197,15 +197,15 @@ def check_rust_vector_sum(vec: dict) -> dict:
 
     import jax.numpy as jnp
 
-    a1 = jnp.asarray(vec["ck"]["a1"], jnp.int32)
-    a2 = jnp.asarray(vec["ck"]["a2"], jnp.int32)
-    gs = jnp.asarray(vec["gs"], jnp.int32)
-    xs = jnp.asarray(vec["xs"], jnp.int32)
-    rs = jnp.asarray(vec["rs"], jnp.int32)
-    rp = jnp.asarray(vec["rp"], jnp.int32)
-    ys = jnp.asarray(vec["ys"], jnp.int32)
-    yp = jnp.asarray(vec["yp"], jnp.int32)
-    d = jnp.asarray(vec["d"], jnp.int32)
+    a1 = jnp.asarray(vec["ck"]["a1"], ring.dtype)
+    a2 = jnp.asarray(vec["ck"]["a2"], ring.dtype)
+    gs = jnp.asarray(vec["gs"], ring.dtype)
+    xs = jnp.asarray(vec["xs"], ring.dtype)
+    rs = jnp.asarray(vec["rs"], ring.dtype)
+    rp = jnp.asarray(vec["rp"], ring.dtype)
+    ys = jnp.asarray(vec["ys"], ring.dtype)
+    yp = jnp.asarray(vec["yp"], ring.dtype)
+    d = jnp.asarray(vec["d"], ring.dtype)
 
     a_hat = ring.fwd_const(jnp.concatenate([a1, a2], axis=0))
     a1_hat = ring.fwd_const(a1)
@@ -215,7 +215,7 @@ def check_rust_vector_sum(vec: dict) -> dict:
 
     def commit_value(xv, rv):
         zfull = jnp.concatenate(
-            [jnp.zeros(xv.shape[:-2] + (params.n, n_deg), jnp.int32), xv],
+            [jnp.zeros(xv.shape[:-2] + (params.n, n_deg), ring.dtype), xv],
             axis=-2,
         )
         return zq.add_centered(
@@ -262,8 +262,17 @@ _CHECKERS = {
 
 
 def check_vector(vec: dict) -> dict:
-    """Dispatch on vec["protocol"] (default "open")."""
-    return _CHECKERS[vec.get("protocol", "open")](vec)
+    """Dispatch on vec["protocol"] (default "open"). Wide-ring vectors
+    (derived modulus >= 2^32: the generator's ZqI64 wide families) carry
+    int64 coefficients, so their replay runs under a scoped x64 enable."""
+    fn = _CHECKERS[vec.get("protocol", "open")]
+    p = vec["params"]
+    if p.get("modulus", 2 * p["q"] + 1) >= 2**32:
+        import jax
+
+        with jax.enable_x64(True):
+            return fn(vec)
+    return fn(vec)
 
 
 def load_vectors(path: str):

@@ -44,7 +44,8 @@ def _params_json(params):
 
 
 def _fixed_x(params, n, coeffs=(1, 2, 3, 4)):
-    x = np.zeros((params.l, n), np.int32)
+    dt = np.int64 if params.modulus >= 2**32 else np.int32
+    x = np.zeros((params.l, n), dt)
     x[:, : len(coeffs)] = coeffs
     return jnp.asarray(x)
 
@@ -140,12 +141,22 @@ def mock_sum(seed, n=16, vl=3):
 
 
 def main():
+    # wide-ring family: Q past 2^32 (the q the generator's QW const uses);
+    # the wire schema stays modulus-free (derived 2q+1 = Q for odd Q)
+    qw = 2**33 + 9
+    with jax.enable_x64(True):
+        wide_vec = mock_open(
+            400, params=rz.Params(q=qw // 2, modulus=qw)
+        )
     vectors = [
         mock_open(0),
         mock_linear(100),
         mock_sum(200),
         # n != l: the divergence family (reference's verifier panics on it)
         mock_open(300, params=rz.Params(n=2, k=5, l=1)),
+        wide_vec,
+        # k > 16: the accumulation envelope past the old ACC_MAX ceiling
+        mock_open(500, params=rz.Params(k=20)),
     ]
     with open(os.path.abspath(OUT), "w") as f:
         json.dump(vectors, f)

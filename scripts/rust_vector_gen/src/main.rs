@@ -115,18 +115,14 @@ fn one_vector<const N: usize>(seed: u64, msg: Vec<Vec<i64>>) -> Value {
     one_vector_with::<N>(seed, msg, Params::default(), true)
 }
 
-/// `run_verify = false` is for parameter sets the REFERENCE cannot verify:
-/// for n != l its buggy `c1_c2` split (/root/reference/src/commit.rs:213-218
-/// via split_off at /root/reference/src/mat.rs:206) hands the verifier an
-/// l-row "c1" where n rows are needed, and `Mat::add` panics
-/// (/root/reference/src/mat.rs:128-130). The prover-side transcript is
-/// still well-defined and recorded; ringzk_tpu's checker replays it with
-/// the corrected split (utils/testvectors.py) -- the divergence case where
-/// cross-validation matters most.
-fn one_vector_with<const N: usize>(
+/// Generic over the ZqI64 modulus so non-default rings can be recorded:
+/// the wide family (Q >= 2^32, the full i64 envelope ringzk_tpu's
+/// ops/mont64.py covers) and any custom parameter set. ZqI64<Q> satisfies
+/// every Params/prover trait bound for all Q, so no where-clauses needed.
+fn one_vector_q<const Q: i64, const N: usize>(
     seed: u64,
     msg: Vec<Vec<i64>>,
-    params: Params<ZqI64<3515337053_i64>>,
+    params: Params<ZqI64<Q>>,
     run_verify: bool,
 ) -> Value {
     let rng = &mut StdRng::seed_from_u64(seed);
@@ -182,6 +178,23 @@ fn one_vector_with<const N: usize>(
         "t": pad_polyvec(&pcom_json["t"], N),
         "z": pad_mat_col(&resp_json["z"], N),
     })
+}
+
+/// `run_verify = false` is for parameter sets the REFERENCE cannot verify:
+/// for n != l its buggy `c1_c2` split (/root/reference/src/commit.rs:213-218
+/// via split_off at /root/reference/src/mat.rs:206) hands the verifier an
+/// l-row "c1" where n rows are needed, and `Mat::add` panics
+/// (/root/reference/src/mat.rs:128-130). The prover-side transcript is
+/// still well-defined and recorded; ringzk_tpu's checker replays it with
+/// the corrected split (utils/testvectors.py) -- the divergence case where
+/// cross-validation matters most.
+fn one_vector_with<const N: usize>(
+    seed: u64,
+    msg: Vec<Vec<i64>>,
+    params: Params<ZqI64<3515337053_i64>>,
+    run_verify: bool,
+) -> Value {
+    one_vector_q::<3515337053_i64, N>(seed, msg, params, run_verify)
 }
 
 fn linear_vector<const N: usize>(seed: u64) -> Value {
@@ -316,6 +329,40 @@ fn main() {
             vec![vec![1, 2, 3, 4]],
             nl_params.clone(),
             false,
+        ));
+    }
+    // wide-ring family: a ZqI64 modulus past 2^32 (the full i64 envelope
+    // ringzk_tpu covers with ops/mont64.py). Q = 2^33 + 9 matches the
+    // Python suite's wide tests (tests/test_bigmod.py).
+    const QW: i64 = 8589934601;
+    let wide_params = Params::<ZqI64<QW>> {
+        q: ZqI64::from(QW / 2),
+        b: ZqI64::from(1_i64),
+        n: 1,
+        k: 3,
+        l: 1,
+        kappa: 36,
+    };
+    for seed in 0..2u64 {
+        vectors.push(one_vector_q::<QW, 16>(
+            400 + seed,
+            vec![vec![1, 2, 3, 4]],
+            wide_params.clone(),
+            true,
+        ));
+    }
+    // k > 16 family: exercises the accumulation envelope past the old
+    // ACC_MAX ceiling (ringzk_tpu chunked reduction, tests/test_envelope.py)
+    let k20_params = Params {
+        k: 20,
+        ..Params::default()
+    };
+    for seed in 0..2u64 {
+        vectors.push(one_vector_with::<16>(
+            500 + seed,
+            vec![vec![1, 2, 3, 4]],
+            k20_params.clone(),
+            true,
         ));
     }
     println!("{}", serde_json::to_string_pretty(&Value::Array(vectors)).unwrap());

@@ -174,7 +174,7 @@ def test_mock_vectors_lock_generator_schema():
     the generator (VERDICT r2 weak #2)."""
     vecs = testvectors.load_vectors(MOCK_PATH)
     protocols_seen = set()
-    nl_seen = False
+    nl_seen = wide_seen = k_big_seen = False
     for vec in vecs:
         proto = vec.get("protocol", "open")
         protocols_seen.add(proto)
@@ -186,10 +186,16 @@ def test_mock_vectors_lock_generator_schema():
             assert vec["z"] is None and vec["zp"] is None
         if vec["params"]["n"] != vec["params"]["l"]:
             nl_seen = True
+        if 2 * vec["params"]["q"] + 1 >= 2**32:
+            wide_seen = True
+        if vec["params"]["k"] > 16:
+            k_big_seen = True
         results = testvectors.check_vector(vec)
         assert all(results.values()), (proto, vec["seed"], results)
     assert protocols_seen == {"open", "linear", "sum"}
     assert nl_seen, "mock must include an n != l vector (divergence family)"
+    assert wide_seen, "mock must include a wide-ring (q' >= 2^32) vector"
+    assert k_big_seen, "mock must include a k > 16 vector (envelope family)"
 
 
 def test_mock_vector_checker_detects_corruption():
