@@ -181,8 +181,12 @@ def roundtrip(key, ck: CommitmentKey, x, params: Params, chains: int = 1):
     per-proof semantics and work; the random draws differ from the
     unchained call (each chain consumes its own key split).
     """
+    import os
+
     from . import commit as commit_mod
 
+    if chains == 2 and os.environ.get("RINGZK_STAGGER", "0") == "1":
+        return _roundtrip_staggered(key, ck, x, params)
     if chains > 1:
         return commit_mod.chained_roundtrip(
             lambda k, xc: roundtrip(k, ck, xc, params), key, (x,), chains, (3,)
@@ -195,3 +199,68 @@ def roundtrip(key, ck: CommitmentKey, x, params: Params, chains: int = 1):
     resp = create_response(rctx, chal, params)
     ok = verify(ck, resp, vctx, params)
     return ok, opening_ok
+
+
+def _roundtrip_staggered(key, ck: CommitmentKey, x, params: Params):
+    """chains=2 as an EXPLICIT five-stage software pipeline.
+
+    The plain chained form hands XLA two independent subgraphs and trusts
+    its latency-hiding scheduler to overlap chain A's VPU phases with
+    chain B's MXU phases; the roofline says 86% of the MXU stays idle
+    anyway (BENCHMARKS.md "Analytic roofline"). This variant pins the
+    offset with `lax.optimization_barrier` walls so every stage pairs one
+    chain's MXU-heavy phase (commit / verify matvecs) against the other's
+    VPU-heavy phase (challenge sampling / response NTTs):
+
+        stage 1: A.commit
+        stage 2: A.challenge + A.opening-verify | B.commit
+        stage 3: A.response                     | B.challenge + B.op-verify
+        stage 4: A.verify                       | B.response
+        stage 5:                                  B.verify
+
+    Everything live crosses each barrier, so XLA cannot collapse the
+    stagger by hoisting. Same per-proof semantics and key derivation as
+    chained_roundtrip(chains=2). Trace-time opt-in (RINGZK_STAGGER=1),
+    measured on-chip before any default change (BENCHMARKS.md)."""
+    from . import commit as commit_mod
+
+    b = x.shape[0]
+    if x.ndim < 3 or b % 2:
+        raise ValueError(
+            "staggered roundtrip needs a batched [B, l, N] input with even B"
+        )
+    xa, xb = x[: b // 2], x[b // 2 :]
+    ka, kb = jax.random.split(key)
+    k1a, k2a = jax.random.split(ka)
+    k1b, k2b = jax.random.split(kb)
+    barrier = jax.lax.optimization_barrier
+
+    # stage 1: A commit (MXU). Everything stage >= 2 needs rides the wall.
+    rctx_a, pcom_a = prover_commit(k1a, ck, xa, params)
+    rctx_a, pcom_a, xb, k1b, k2a, k2b = barrier(
+        (rctx_a, pcom_a, xb, k1b, k2a, k2b)
+    )
+    # stage 2: A challenge + opening check (VPU) | B commit (MXU)
+    vctx_a, chal_a = generate_challenge(k2a, pcom_a, params)
+    op_ok_a = commit_mod.verify(ck, pcom_a.c, rctx_a.opening, params)
+    rctx_b, pcom_b = prover_commit(k1b, ck, xb, params)
+    (vctx_a, chal_a, op_ok_a, rctx_a, rctx_b, pcom_b, k2b) = barrier(
+        (vctx_a, chal_a, op_ok_a, rctx_a, rctx_b, pcom_b, k2b)
+    )
+    # stage 3: A response (VPU) | B challenge + opening check
+    resp_a = create_response(rctx_a, chal_a, params)
+    vctx_b, chal_b = generate_challenge(k2b, pcom_b, params)
+    op_ok_b = commit_mod.verify(ck, pcom_b.c, rctx_b.opening, params)
+    (resp_a, vctx_a, vctx_b, chal_b, op_ok_b, rctx_b) = barrier(
+        (resp_a, vctx_a, vctx_b, chal_b, op_ok_b, rctx_b)
+    )
+    # stage 4: A verify (MXU) | B response (VPU)
+    ok_a = verify(ck, resp_a, vctx_a, params)
+    resp_b = create_response(rctx_b, chal_b, params)
+    (ok_a, resp_b, vctx_b) = barrier((ok_a, resp_b, vctx_b))
+    # stage 5: B verify
+    ok_b = verify(ck, resp_b, vctx_b, params)
+    return (
+        jnp.concatenate([ok_a, ok_b]),
+        jnp.concatenate([op_ok_a, op_ok_b]),
+    )

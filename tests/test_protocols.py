@@ -309,3 +309,18 @@ def test_roundtrip_chains(ck):
     assert okl2.shape == (8,) and bool(jnp.all(okl2))
     with pytest.raises(ValueError):
         open_mod.roundtrip(kp, ck, 3, PARAMS, chains=2)
+
+
+def test_roundtrip_staggered_matches_chained(ck):
+    """RINGZK_STAGGER=1 (the explicit five-stage pipeline) must reproduce
+    chained_roundtrip(chains=2) bit for bit: same key derivation, same
+    chain split, same verdicts -- the barriers only pin scheduling."""
+    from conftest import env_override
+
+    kx, kp = jax.random.split(jax.random.PRNGKey(77))
+    x = rand_x(kx, (8,))
+    want = open_mod.roundtrip(kp, ck, x, PARAMS, chains=2)
+    with env_override("RINGZK_STAGGER", "1"):
+        got = open_mod.roundtrip(kp, ck, x, PARAMS, chains=2)
+    assert jnp.array_equal(got[0], want[0]) and jnp.array_equal(got[1], want[1])
+    assert bool(jnp.all(got[0])) and bool(jnp.all(got[1]))
