@@ -48,10 +48,15 @@ import os
 
 TILE_B = int(os.environ.get("RINGZK_MATVEC_TILE", "128"))
 W_VMEM_BUDGET = 8 * 1024 * 1024   # resident-operator cap (bytes, int8)
-# column-blocked variant: total VMEM target for (2x input slab + 2x
-# operator column slab + output), leaving headroom under the ~16 MB core
+# column-blocked variant: Mosaic scoped-vmem stack budget for the WHOLE
+# kernel invocation -- double-buffered input + operator slabs AND the
+# kernel body's temporaries (the biased uint32 copy of the input slab, one
+# int8 digit plane, output + fold). The chip limit is 16 MB; 14 MB leaves
+# slack for Mosaic's own spills (the N=2048 CB=128 TILE=128 plan measured
+# 19.79 MB against the naive slab-only estimate of ~13 MB -- the temps are
+# real).
 COL_VMEM_BUDGET = int(
-    os.environ.get("RINGZK_MATVEC_COL_VMEM", str(12 * 1024 * 1024))
+    os.environ.get("RINGZK_MATVEC_COL_VMEM", str(14 * 1024 * 1024))
 )
 
 
@@ -132,24 +137,48 @@ def matvec_fits(w_digits, n: int) -> bool:
     )
 
 
-def colblock_cb(kn: int, rows_n: int, key_digits: int) -> int | None:
-    """Column-slab width for the blocked kernel: the largest multiple of
-    128 dividing rows_n such that 2x the input slab + 2x the operator slab
-    fit COL_VMEM_BUDGET (Pallas double-buffers streamed blocks). None when
-    nothing >= 128 fits (fall back to the XLA path)."""
+def _colblock_stack(tile_b: int, cb: int, kn: int, key_digits: int) -> int:
+    """Scoped-vmem stack estimate for one colblock kernel invocation:
+    2x input slab (double-buffered) + the body's biased uint32 copy + one
+    int8 digit plane + 2x operator slab + 2x output block + fixed slack
+    for Mosaic temporaries. Calibrated against the observed 19.79 MB at
+    (tile 128, CB 128, kN 6144) -- see COL_VMEM_BUDGET."""
+    slack = 2 * 1024 * 1024
+    return (
+        2 * tile_b * kn * 4      # input slab, double-buffered
+        + tile_b * kn * 4        # biased uint32 copy (digit extraction)
+        + tile_b * kn            # one int8 digit plane
+        + 2 * key_digits * kn * cb   # operator slab, double-buffered
+        + 2 * tile_b * cb * 4    # output block
+        + slack
+    )
+
+
+def colblock_plan(kn: int, rows_n: int, key_digits: int):
+    """(tile_b, cb) for the blocked kernel, or None when nothing fits the
+    scoped-vmem stack budget. Prefers the largest batch tile (operator HBM
+    traffic scales as B/tile_b full-operator streams), then the widest
+    column slab (fewer grid steps). RINGZK_MATVEC_CB forces cb."""
     env = os.environ.get("RINGZK_MATVEC_CB")
     if env is not None:
         cb = int(env)
-        return cb if cb and rows_n % cb == 0 else None
-    v_bytes = 2 * TILE_B * kn * 4
-    room = COL_VMEM_BUDGET - v_bytes
-    best = None
-    cb = 128
-    while cb <= rows_n:
-        if rows_n % cb == 0 and 2 * kn * key_digits * cb <= room:
-            best = cb
-        cb *= 2
-    return best
+        return (TILE_B, cb) if cb and rows_n % cb == 0 else None
+    for tile_b in (TILE_B, TILE_B // 2, TILE_B // 4):
+        if tile_b < 8:
+            continue
+        best = None
+        cb = 128
+        while cb <= rows_n:
+            if (
+                rows_n % cb == 0
+                and _colblock_stack(tile_b, cb, kn, key_digits)
+                <= COL_VMEM_BUDGET
+            ):
+                best = cb
+            cb *= 2
+        if best is not None:
+            return tile_b, best
+    return None
 
 
 def blocked_layout_ok(rows: int, k: int, n: int, key_digits: int) -> bool:
@@ -163,7 +192,7 @@ def blocked_layout_ok(rows: int, k: int, n: int, key_digits: int) -> bool:
         and n % 128 == 0
         and kn % 128 == 0
         and rows_n % 128 == 0
-        and colblock_cb(kn, rows_n, key_digits) is not None
+        and colblock_plan(kn, rows_n, key_digits) is not None
     )
 
 
@@ -192,30 +221,30 @@ def matvec_digits_colblock(
     d, kn, rows_n = w3.shape
     n = v.shape[-1]
     assert rows_n == rows * n
-    cb = colblock_cb(kn, rows_n, d)
+    tile_b, cb = colblock_plan(kn, rows_n, d)
     batch = v.shape[:-2]
     bflat = 1
     for dim in batch:
         bflat *= dim
     v2 = v.reshape((bflat, kn))
-    pad = (-bflat) % TILE_B
+    pad = (-bflat) % tile_b
     if pad:
         v2 = jnp.pad(v2, ((0, pad), (0, 0)))
     out = pl.pallas_call(
         functools.partial(
             _matvec_colblock_kernel, ring, v_digits, conv_mxu.KEY_DIGITS
         ),
-        grid=(pl.cdiv(v2.shape[0], TILE_B), rows_n // cb),
+        grid=(pl.cdiv(v2.shape[0], tile_b), rows_n // cb),
         in_specs=[
             pl.BlockSpec(
-                (TILE_B, kn), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                (tile_b, kn), lambda i, j: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (d, kn, cb), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (TILE_B, cb), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            (tile_b, cb), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((v2.shape[0], rows_n), jnp.int32),
         interpret=interpret,

@@ -48,9 +48,11 @@ def _shoup_mul_inline(ctx: MontCtx, w, w_shoup, x):
 def _roll_lanes(x, shift: int):
     """Static circular shift along the lane (last) axis. pltpu.roll requires
     a non-negative shift; roll(x, s) moves element i to i+s, so x[i - s] --
-    to read x[i + t] (negative logical shift) roll by N - t."""
+    to read x[i + t] (negative logical shift) roll by N - t. The shift is
+    pinned to int32: under jax x64 (wide rings) a bare Python int traces as
+    i64 and Mosaic's tpu.dynamic_rotate rejects a 64-bit shift operand."""
     n = x.shape[-1]
-    return pltpu.roll(x, shift % n, axis=x.ndim - 1)
+    return pltpu.roll(x, np.int32(shift % n), axis=x.ndim - 1)
 
 
 def _fwd_kernel(ctx: MontCtx, n: int, x_ref, w_ref, o_ref):
