@@ -427,11 +427,28 @@ def _commit_value(ring: RingContext, ck: CommitmentKey, x, r, params: Params):
 
 
 @annotate("commit_scheme/verify")
-def verify(ck: CommitmentKey, com: Commitment, opening: Opening, params: Params):
+def verify(
+    ck: CommitmentKey,
+    com: Commitment,
+    opening: Opening,
+    params: Params,
+    *,
+    honest_r_bound: int | None = None,
+):
     """Opening verification incl. the relaxation factor f
     (/root/reference/src/commit.rs:173-210):
         f . c == [a1; a2] . r + f . [0_n; x]   (f None => identity)
-    Returns bool [...] with all structure axes reduced."""
+    Returns bool [...] with all structure axes reduced.
+
+    ``honest_r_bound``: optional exact static bound on |r| coefficients,
+    sound ONLY when the caller constructed the opening itself (the
+    roundtrips pass params.b for their own commit's r). The verification
+    result is bit-identical for any r within the bound; the point is that
+    a matching bound lets XLA CSE this A.r matvec with the commit's own
+    (same digit count, same operands) instead of re-running it at the
+    adversarial 3-digit width -- one of the four digit matvecs in every
+    self-verified roundtrip disappears. Leave None for openings from the
+    wire."""
     x, r, f = opening
     n_deg = x.shape[-1]
     ring = get_ring(n_deg, params.modulus)
@@ -443,7 +460,11 @@ def verify(ck: CommitmentKey, com: Commitment, opening: Opening, params: Params)
     # adversarial r: clamp bound = the commit constraint itself (a passing r
     # has every |coeff| <= norm_2 <= 4 sigma sqrt(N); a failing r rejects
     # regardless of the algebra)
-    ar = matvec_key(ring, ck, "a", r, params.commit_bound(n_deg))
+    ar = matvec_key(
+        ring, ck, "a", r,
+        honest_r_bound if honest_r_bound is not None
+        else params.commit_bound(n_deg),
+    )
     zfull = _zero_pad_rows(x, params.n)
     if f is None:
         rhs = zq.add_centered(ring.qctx, ar, zfull)

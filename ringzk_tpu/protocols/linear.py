@@ -211,8 +211,12 @@ def roundtrip(key, ck: CommitmentKey, g, x, params: Params, chains: int = 1):
         )
     k1, k2 = jax.random.split(key)
     rctx, pcom = prover_commit(k1, ck, g, x, params)
-    op_ok = commit_mod.verify(ck, pcom.c, rctx.opening, params)
-    op_ok &= commit_mod.verify(ck, pcom.cp, rctx.opening_p, params)
+    op_ok = commit_mod.verify(
+        ck, pcom.c, rctx.opening, params, honest_r_bound=params.b
+    )
+    op_ok &= commit_mod.verify(
+        ck, pcom.cp, rctx.opening_p, params, honest_r_bound=params.b
+    )
     vctx, chal = generate_challenge(k2, pcom, params)
     resp = create_response(rctx, chal, params)
     return verify(ck, resp, vctx, params), op_ok

@@ -194,7 +194,9 @@ def roundtrip(key, ck: CommitmentKey, x, params: Params, chains: int = 1):
 
     k1, k2 = jax.random.split(key)
     rctx, pcom = prover_commit(k1, ck, x, params)
-    opening_ok = commit_mod.verify(ck, pcom.c, rctx.opening, params)
+    opening_ok = commit_mod.verify(
+        ck, pcom.c, rctx.opening, params, honest_r_bound=params.b
+    )
     vctx, chal = generate_challenge(k2, pcom, params)
     resp = create_response(rctx, chal, params)
     ok = verify(ck, resp, vctx, params)
@@ -242,7 +244,9 @@ def _roundtrip_staggered(key, ck: CommitmentKey, x, params: Params):
     )
     # stage 2: A challenge + opening check (VPU) | B commit (MXU)
     vctx_a, chal_a = generate_challenge(k2a, pcom_a, params)
-    op_ok_a = commit_mod.verify(ck, pcom_a.c, rctx_a.opening, params)
+    op_ok_a = commit_mod.verify(
+        ck, pcom_a.c, rctx_a.opening, params, honest_r_bound=params.b
+    )
     rctx_b, pcom_b = prover_commit(k1b, ck, xb, params)
     (vctx_a, chal_a, op_ok_a, rctx_a, rctx_b, pcom_b, k2b) = barrier(
         (vctx_a, chal_a, op_ok_a, rctx_a, rctx_b, pcom_b, k2b)
@@ -250,7 +254,9 @@ def _roundtrip_staggered(key, ck: CommitmentKey, x, params: Params):
     # stage 3: A response (VPU) | B challenge + opening check
     resp_a = create_response(rctx_a, chal_a, params)
     vctx_b, chal_b = generate_challenge(k2b, pcom_b, params)
-    op_ok_b = commit_mod.verify(ck, pcom_b.c, rctx_b.opening, params)
+    op_ok_b = commit_mod.verify(
+        ck, pcom_b.c, rctx_b.opening, params, honest_r_bound=params.b
+    )
     (resp_a, vctx_a, vctx_b, chal_b, op_ok_b, rctx_b) = barrier(
         (resp_a, vctx_a, vctx_b, chal_b, op_ok_b, rctx_b)
     )

@@ -261,9 +261,14 @@ def roundtrip(key, ck: CommitmentKey, gs, xs, params: Params, chains: int = 1):
         )
     k1, k2 = jax.random.split(key)
     rctx, pcom = prover_commit(k1, ck, gs, xs, params)
-    op_ok = commit_mod.verify(ck, pcom.cp, rctx.opening_p, params)
+    op_ok = commit_mod.verify(
+        ck, pcom.cp, rctx.opening_p, params, honest_r_bound=params.b
+    )
     op_ok &= jnp.all(
-        commit_mod.verify(ck, pcom.cs, rctx.openings, params), axis=-1
+        commit_mod.verify(
+            ck, pcom.cs, rctx.openings, params, honest_r_bound=params.b
+        ),
+        axis=-1,
     )
     vctx, chal = generate_challenge(k2, pcom, params)
     resp = create_response(rctx, chal, params)
