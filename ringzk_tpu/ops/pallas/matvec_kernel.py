@@ -184,16 +184,23 @@ def colblock_plan(kn: int, rows_n: int, key_digits: int):
 def blocked_layout_ok(rows: int, k: int, n: int, key_digits: int) -> bool:
     """True when keygen should store the [D, kN, rows*N] blocked operator
     layout for this key shape: the resident kernel's VMEM gate fails but a
-    column slab fits. Mirrors matvec_fits' alignment conditions."""
+    FULL-tile column plan fits. Plans that must shrink the batch tile are
+    excluded -- operator HBM traffic scales as B/tile_b full streams, and
+    the N=2048 (tile 64, CB 128) plan measured 79.7k vs the XLA fold's
+    94.9k same-day (A/B in BENCHMARKS.md); the N=1024 full-tile plan
+    (128, 256) measured 257.5k vs 242.0k (+6.4%). Mirrors matvec_fits'
+    alignment conditions."""
     kn, rows_n = k * n, rows * n
-    return (
-        key_digits * kn * rows_n > W_VMEM_BUDGET
-        and n >= 128
-        and n % 128 == 0
-        and kn % 128 == 0
-        and rows_n % 128 == 0
-        and colblock_plan(kn, rows_n, key_digits) is not None
-    )
+    if (
+        key_digits * kn * rows_n <= W_VMEM_BUDGET
+        or n < 128
+        or n % 128
+        or kn % 128
+        or rows_n % 128
+    ):
+        return False
+    plan = colblock_plan(kn, rows_n, key_digits)
+    return plan is not None and plan[0] >= TILE_B
 
 
 def to_blocked_layout(w_digits):

@@ -555,6 +555,12 @@ def _inv_stages(ctx: MontCtx, n: int, n_inv_scale, x, w):
     return _inv_stages_strict(ctx, n, n_inv_scale, x, w)
 
 
+# index-map constant pinned to int32: under jax x64 a bare Python 0 in a
+# BlockSpec index map traces as i64 and Mosaic rejects the index
+# function's (i32, i64) return signature
+_I0 = np.int32(0)
+
+
 def _tile_for_wide(n: int, rows: int, num: int) -> int:
     """Wide rings carry ``num`` prime planes (up to 8 vs the narrow 3):
     scale the narrow VMEM-budget tile down by the extra planes."""
@@ -612,14 +618,14 @@ def fwd_wide_all_pallas(ring, x, num: int, interpret: bool = False):
         functools.partial(_fwd_wide_kernel, ring, num, n),
         grid=(pl.cdiv(lo2.shape[0], tile),),
         in_specs=[
-            pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, n), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, n), lambda i: (i, _I0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (num, 2, logn, n), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+                (num, 2, logn, n), lambda i: (_I0, _I0, _I0, _I0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (num, tile, n), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (num, tile, n), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((num, lo2.shape[0], n), jnp.uint32),
         interpret=interpret,
@@ -645,15 +651,15 @@ def inv_wide_all_pallas(ring, xhat, interpret: bool = False):
         grid=(pl.cdiv(x2d.shape[1], tile),),
         in_specs=[
             pl.BlockSpec(
-                (num, tile, n), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (num, tile, n), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (num, 2, logn, n), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+                (num, 2, logn, n), lambda i: (_I0, _I0, _I0, _I0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(
-            pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, n), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, n), lambda i: (i, _I0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((x2d.shape[1], n), jnp.uint32),
