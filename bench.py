@@ -92,13 +92,16 @@ def main():
         "one chain's MXU matvec phases with another's VPU transform phases "
         "across the protocol's sequential dependency walls. Same total "
         "work and per-proof semantics; each chain draws its own key. "
-        "Default 2 (measured wins: open +7.9%, linear +3.2%, sum +14.8% "
-        "over single-chain; open saturates at 2 -- chains=4 measured the "
-        "same). --chains 1 restores the single chain.",
+        "Default 4 since round 5: with the honest-bound matvec dedupe "
+        "shortening each chain, the round-4 chains=2 saturation moved -- "
+        "the consecutive same-session scan measured 638.7/648.2/641.8k at "
+        "chains 2/4/8 (batch 8192) and 625.4/702.9/707.7k at batch 16384, "
+        "all fetch-forced-validated (BENCHMARKS.md round-5 headline). "
+        "--chains 1 restores the single chain.",
     )
     args = ap.parse_args()
     if args.chains is None:
-        args.chains = 2  # measured win for all three protocols (BENCHMARKS.md)
+        args.chains = 4  # round-5 measured optimum, all three protocols
 
     from ringzk_tpu import Params, keygen
     from ringzk_tpu.protocols import linear as linear_mod
@@ -118,8 +121,12 @@ def main():
     n_deg = args.n
     # per-protocol default batches: linear does ~2.5x and sum (VL=4) ~5x the
     # open proof's work per item; smaller batches keep the dispatch trains
-    # comparable without exceeding the tunnel's compile payload
-    b = args.batch or {"open": 8192, "linear": 4096, "sum": 2048}[args.protocol]
+    # comparable without exceeding the tunnel's compile payload. Doubled in
+    # round 5 with chains=4 (measured: open 702.9-707.3k at 16384/4 vs
+    # 648.2k at 8192/4 and 656.8k at 32768/4; linear 194.1k at 8192/4 vs
+    # 185.9k at 4096/2; sum 74.7k at 4096/4 vs 70.2k at 2048/2 -- every
+    # row fetch-forced-validated, BENCHMARKS.md)
+    b = args.batch or {"open": 16384, "linear": 8192, "sum": 4096}[args.protocol]
     kk, kx, kg, kp = jax.random.split(jax.random.PRNGKey(0), 4)
     ck = keygen(kk, params, n_deg)
 

@@ -175,11 +175,15 @@ def roundtrip(key, ck: CommitmentKey, x, params: Params, chains: int = 1):
     The 3-move protocol's data dependencies serialize its MXU matvec
     phases against its VPU transform/sampling phases; independent chains
     give XLA's scheduler cross-chain overlap across those walls -- a
-    measured +7.9% at the headline config (557.96k vs 517.2k proofs/s,
-    chains=2, batch 8192; chains=4 measured the same 558.9k, so the
-    benefit saturates at 2 -- BENCHMARKS.md "Round-4 headline"). Identical
-    per-proof semantics and work; the random draws differ from the
-    unchained call (each chain consumes its own key split).
+    measured +7.9% at the round-4 headline config (557.96k vs 517.2k,
+    chains=2, batch 8192). The saturation point is build-dependent: round
+    4 measured chains=4 == chains=2, but after round 5's honest-bound
+    matvec dedupe shortened each chain, the consecutive scan measured
+    638.7/648.2/641.8k at chains 2/4/8 (batch 8192) and 702.9-708.8k at
+    batch 16384 chains 4 -- the round-5 shipped default (BENCHMARKS.md
+    "Round-5 headline"). Identical per-proof semantics and work; the
+    random draws differ from the unchained call (each chain consumes its
+    own key split).
     """
     import os
 
