@@ -30,8 +30,8 @@ Peaks (TPU v5e -- `jax.devices()[0].device_kind == "TPU v5 lite"` here):
   the 8x128-lane x 4-ALU VPU shape per TensorCore => ~6.3e12 lane-ops/s
   (marked approximate in the output).
 
-Usage: python scripts/roofline_model.py [--proofs-per-s 597186] [--batch 8192]
-Default proofs/s is the round-4 shipped-default band floor (BENCHMARKS.md).
+Usage: python scripts/roofline_model.py [--proofs-per-s 703356]
+Default proofs/s is the round-5 shipped-default band floor (BENCHMARKS.md).
 """
 
 from __future__ import annotations
@@ -79,7 +79,9 @@ def open_proof_work(params: Params, n_deg: int) -> dict:
     mxu = {
         "commit A.r": matvec_macs(dig(b), rows_a),
         "prover t=a1.y": matvec_macs(dig(gbound), n),
-        "opening-verify A.r": matvec_macs(dig(cb), rows_a),
+        # the standalone opening-verify A.r is CSE'd with the commit's own
+        # since round 5 (honest_r_bound dedupe, protocols/commit.py) --
+        # it contributes ZERO extra MACs in the roundtrip program
         "verify a1.z": matvec_macs(dig(vb), n),
     }
 
@@ -109,7 +111,8 @@ def open_proof_work(params: Params, n_deg: int) -> dict:
     vpu["sample y (normal+round+clip)"] = k * n_deg * 25
     vpu["challenge d (uniform+select+signs)"] = n_deg * 40
     # digit decompositions: ~4 ops per digit per element
-    vpu["digit splits"] = kn * 4 * (dig(b) + dig(gbound) + dig(cb) + dig(vb))
+    # dig(cb) dropped in round 5: the opening-verify matvec is CSE'd away
+    vpu["digit splits"] = kn * 4 * (dig(b) + dig(gbound) + dig(vb))
     # digit folds (round-4 single-REDC form, ops/conv_mxu.py): per
     # shift-group element: int32 plane add (~1) + one mont_mul(q) on the
     # raw two's-complement bits + sign-correction select/sub (~3) +
@@ -121,7 +124,6 @@ def open_proof_work(params: Params, n_deg: int) -> dict:
     vpu["digit folds"] = (
         fold_ops(dig(b), rows_a)
         + fold_ops(dig(gbound), n)
-        + fold_ops(dig(cb), rows_a)
         + fold_ops(dig(vb), n)
     )
     # butterfly arithmetic: N lanes active per stage
@@ -148,7 +150,7 @@ def open_proof_work(params: Params, n_deg: int) -> dict:
         + rows_a     # c
         + n          # t
         + k          # z
-    ) + kn * (dig(b) + dig(gbound) + dig(cb) + dig(vb))  # int8 digit planes
+    ) + kn * (dig(b) + dig(gbound) + dig(vb))  # int8 digit planes
 
     return {
         "mxu_macs": mxu,
@@ -160,8 +162,8 @@ def open_proof_work(params: Params, n_deg: int) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--proofs-per-s", type=float, default=597186.0,
-                    help="measured end-to-end rate (round-4 shipped-default floor)")
+    ap.add_argument("--proofs-per-s", type=float, default=703356.0,
+                    help="measured end-to-end rate (round-5 shipped-default floor)")
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()

@@ -324,3 +324,30 @@ def test_roundtrip_staggered_matches_chained(ck):
         got = open_mod.roundtrip(kp, ck, x, PARAMS, chains=2)
     assert jnp.array_equal(got[0], want[0]) and jnp.array_equal(got[1], want[1])
     assert bool(jnp.all(got[0])) and bool(jnp.all(got[1]))
+
+
+def test_verify_honest_bound_hint_soundness(ck):
+    """The honest_r_bound hint (the round-5 CSE lever) must not weaken
+    verification: with the hint, a correct self-produced opening still
+    passes and a WRONG-message opening still fails (the algebra check is
+    unchanged; only the digit width of the A.r decomposition shrinks)."""
+    kx, kx2, kc = jax.random.split(jax.random.PRNGKey(88), 3)
+    x, x2 = rand_x(kx, (4,)), rand_x(kx2, (4,))
+    opening, com = commit_mod.commit(kc, ck, x, PARAMS)
+    ok = commit_mod.verify(ck, com, opening, PARAMS, honest_r_bound=PARAMS.b)
+    assert bool(jnp.all(ok))
+    wrong = opening._replace(x=x2)
+    bad = commit_mod.verify(ck, com, wrong, PARAMS, honest_r_bound=PARAMS.b)
+    assert not bool(jnp.any(bad))
+    # and the hinted result equals the unhinted one bit-for-bit on honest r
+    ok2 = commit_mod.verify(ck, com, opening, PARAMS)
+    assert jnp.array_equal(ok, ok2)
+
+
+def test_roundtrip_chains4(ck):
+    """chains=4 (the round-5 shipped bench default) splits into four
+    independent sub-chains; all proofs verify."""
+    kx, kp = jax.random.split(jax.random.PRNGKey(89))
+    x = rand_x(kx, (8,))
+    ok, op_ok = open_mod.roundtrip(kp, ck, x, PARAMS, chains=4)
+    assert ok.shape == (8,) and bool(jnp.all(ok)) and bool(jnp.all(op_ok))
