@@ -328,3 +328,31 @@ def test_keygen_blocked_layout_dispatch():
     with env_override("RINGZK_PALLAS_MATVEC", "0"):
         ck2 = keygen(jax.random.PRNGKey(53), params, n_deg)
         assert ck2.a1_dig is not None and ck2.a1_dig.ndim == 2
+
+
+def test_colblock_plan_solver():
+    """The colblock VMEM plan: full-tile preference, cb maximization, env
+    override, and refusal when nothing fits."""
+    from conftest import env_override
+    from ringzk_tpu.ops.pallas import matvec_kernel as mk
+
+    # N=1024 key shape: full tile, widest fitting slab (the measured config)
+    assert mk.colblock_plan(3072, 1024, 4) == (128, 256)
+    # N=2048: only a shrunk-tile plan fits -> plan exists but the layout
+    # gate refuses it (measured loss; blocked_layout_ok)
+    plan = mk.colblock_plan(6144, 2048, 4)
+    assert plan is not None and plan[0] < mk.TILE_B
+    assert not mk.blocked_layout_ok(1, 3, 2048, 4)
+    # N=4096: nothing fits -> None, gate refuses
+    assert mk.colblock_plan(12288, 4096, 4) is None
+    assert not mk.blocked_layout_ok(1, 3, 4096, 4)
+    # stack estimate is monotone in every dimension
+    s0 = mk._colblock_stack(128, 128, 3072, 4)
+    assert mk._colblock_stack(128, 256, 3072, 4) > s0
+    assert mk._colblock_stack(256, 128, 3072, 4) > s0
+    assert mk._colblock_stack(128, 128, 6144, 4) > s0
+    # env override forces cb (or refuses a non-divisor)
+    with env_override("RINGZK_MATVEC_CB", "512"):
+        assert mk.colblock_plan(3072, 1024, 4) == (mk.TILE_B, 512)
+    with env_override("RINGZK_MATVEC_CB", "500"):
+        assert mk.colblock_plan(3072, 1024, 4) is None
