@@ -178,15 +178,19 @@ def main():
     proofs_per_s = b / dt
     target = 1e5  # north-star: >= 1e5 verified open proofs/s per host, N=512
 
-    # per-phase Criterion-parity table (timed BEFORE any fetch-forced pass)
+    # per-phase Criterion-parity table + the NTT roofline row: ALL
+    # median-window timings run BEFORE any fetch-forced pass (a D2H can
+    # permanently degrade subsequent dispatch on this backend -- the
+    # ordering rule of utils/benchtime.py)
     phase_rows = []
     if args.full:
         phase_rows = _phase_rows(
             args.protocol, params, ck, fargs, kp, n_deg, b, args.iters
         )
+        if args.protocol == "open":
+            _ntt_roofline(params, n_deg, b, args.iters)
 
-    # LAST: the fetch-forced cross-check windows (a D2H can degrade
-    # subsequent dispatch on this backend). The headline goes first
+    # LAST: the fetch-forced cross-check windows. The headline goes first
     # (ff_order 0 -- the most trustworthy slot), phases after, in order.
     headline_rec = {}
     fetch_forced_pass(
@@ -203,8 +207,6 @@ def main():
             f"spread {rec['windows']['min']:.0f}-{rec['windows']['max']:.0f})",
             file=sys.stderr,
         )
-    if args.full and args.protocol == "open":
-        _ntt_roofline(params, n_deg, b, args.iters)
 
     print(
         json.dumps(
@@ -224,63 +226,33 @@ def main():
 def _phase_rows(protocol, params, ck, fargs, key, n_deg, b, iters):
     """Per-phase timings mirroring the reference's Criterion groups
     (/root/reference/benches/bench.rs:35-305): commit / generate_challenge /
-    create_response / verify for the selected protocol. Times every phase
+    create_response / verify for the selected protocol. The four phases
+    share one signature shape across protocols (prover_commit takes the
+    protocol's public inputs, the other three take the prior phase's
+    pytrees), so one generic builder covers all three. Times every phase
     with median-of-windows NOW; the caller runs the fetch-forced pass last.
     Returns [(record, fn, args), ...]."""
     from ringzk_tpu.protocols import linear as linear_mod
     from ringzk_tpu.protocols import open as open_mod
     from ringzk_tpu.protocols import sum as sum_mod
 
+    mod = {"open": open_mod, "linear": linear_mod, "sum": sum_mod}[protocol]
+    inputs = fargs[1:]  # the protocol's public inputs (x / g,x / gs,xs)
     k1, k2 = jax.random.split(key)
-    if protocol == "open":
-        x = fargs[1]
-        commit_f = jax.jit(lambda k, x: open_mod.prover_commit(k, ck, x, params))
-        rctx, pcom = commit_f(k1, x)
-        chal_f = jax.jit(lambda k, pc: open_mod.generate_challenge(k, pc, params))
-        vctx, chal = chal_f(k2, pcom)
-        resp_f = jax.jit(lambda rc, ch: open_mod.create_response(rc, ch, params))
-        resp = resp_f(rctx, chal)
-        verify_f = jax.jit(lambda r, v: open_mod.verify(ck, r, v, params))
-        rows = [
-            ("open_proof_commit", commit_f, (k1, x)),
-            ("open_proof_generate_challenge", chal_f, (k2, pcom)),
-            ("open_proof_create_response", resp_f, (rctx, chal)),
-            ("open_proof_verify", verify_f, (resp, vctx)),
-        ]
-    elif protocol == "linear":
-        g, x = fargs[1], fargs[2]
-        commit_f = jax.jit(
-            lambda k, g, x: linear_mod.prover_commit(k, ck, g, x, params)
-        )
-        rctx, pcom = commit_f(k1, g, x)
-        chal_f = jax.jit(lambda k, pc: linear_mod.generate_challenge(k, pc, params))
-        vctx, chal = chal_f(k2, pcom)
-        resp_f = jax.jit(lambda rc, ch: linear_mod.create_response(rc, ch, params))
-        resp = resp_f(rctx, chal)
-        verify_f = jax.jit(lambda r, v: linear_mod.verify(ck, r, v, params))
-        rows = [
-            ("linear_proof_commit", commit_f, (k1, g, x)),
-            ("linear_proof_generate_challenge", chal_f, (k2, pcom)),
-            ("linear_proof_create_response", resp_f, (rctx, chal)),
-            ("linear_proof_verify", verify_f, (resp, vctx)),
-        ]
-    else:
-        gs, xs = fargs[1], fargs[2]
-        commit_f = jax.jit(
-            lambda k, gs, xs: sum_mod.prover_commit(k, ck, gs, xs, params)
-        )
-        rctx, pcom = commit_f(k1, gs, xs)
-        chal_f = jax.jit(lambda k, pc: sum_mod.generate_challenge(k, pc, params))
-        vctx, chal = chal_f(k2, pcom)
-        resp_f = jax.jit(lambda rc, ch: sum_mod.create_response(rc, ch, params))
-        resp = resp_f(rctx, chal)
-        verify_f = jax.jit(lambda r, v: sum_mod.verify(ck, r, v, params))
-        rows = [
-            ("sum_proof_commit", commit_f, (k1, gs, xs)),
-            ("sum_proof_generate_challenge", chal_f, (k2, pcom)),
-            ("sum_proof_create_response", resp_f, (rctx, chal)),
-            ("sum_proof_verify", verify_f, (resp, vctx)),
-        ]
+
+    commit_f = jax.jit(lambda k, *a: mod.prover_commit(k, ck, *a, params))
+    rctx, pcom = commit_f(k1, *inputs)
+    chal_f = jax.jit(lambda k, pc: mod.generate_challenge(k, pc, params))
+    vctx, chal = chal_f(k2, pcom)
+    resp_f = jax.jit(lambda rc, ch: mod.create_response(rc, ch, params))
+    resp = resp_f(rctx, chal)
+    verify_f = jax.jit(lambda r, v: mod.verify(ck, r, v, params))
+    rows = [
+        (f"{protocol}_proof_commit", commit_f, (k1,) + inputs),
+        (f"{protocol}_proof_generate_challenge", chal_f, (k2, pcom)),
+        (f"{protocol}_proof_create_response", resp_f, (rctx, chal)),
+        (f"{protocol}_proof_verify", verify_f, (resp, vctx)),
+    ]
 
     out = []
     for name, fn, a in rows:

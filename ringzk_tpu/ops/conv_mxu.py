@@ -182,9 +182,14 @@ def matvec_digits(ring: RingContext, w_digits, rows: int, v, v_digits: int):
         if _use_pallas_matvec():
             from .pallas import matvec_kernel, pallas_interpret
 
-            return matvec_kernel.matvec_digits_colblock(
-                ring, w_digits, rows, v, v_digits, interpret=pallas_interpret()
-            )
+            d3, kn3, rn3 = w_digits.shape
+            if matvec_kernel.colblock_plan(kn3, rn3, d3) is not None:
+                return matvec_kernel.matvec_digits_colblock(
+                    ring, w_digits, rows, v, v_digits,
+                    interpret=pallas_interpret(),
+                )
+            # env mismatch since keygen (RINGZK_MATVEC_CB/_COL_VMEM changed
+            # so no plan fits anymore): fall through to the XLA path below
         # kernel off (CPU tests / A-B runs): reconstruct the 2D layout for
         # the XLA matmul below -- a per-call transpose, acceptable because
         # keygen only stores the blocked layout when the kernel is the

@@ -228,7 +228,18 @@ def matvec_digits_colblock(
     d, kn, rows_n = w3.shape
     n = v.shape[-1]
     assert rows_n == rows * n
-    tile_b, cb = colblock_plan(kn, rows_n, d)
+    plan = colblock_plan(kn, rows_n, d)
+    if plan is None:
+        # keygen only stores the blocked layout when a plan exists, so this
+        # is an env mismatch (RINGZK_MATVEC_CB / _COL_VMEM changed after
+        # keygen) or a direct call on an unplannable shape -- say so
+        # instead of TypeError-ing mid-trace
+        raise ValueError(
+            f"no colblock VMEM plan for operator [{d}, {kn}, {rows_n}] "
+            "(RINGZK_MATVEC_CB/RINGZK_MATVEC_COL_VMEM changed since "
+            "keygen?); rebuild the key or unset the overrides"
+        )
+    tile_b, cb = plan
     batch = v.shape[:-2]
     bflat = 1
     for dim in batch:

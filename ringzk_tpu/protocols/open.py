@@ -218,11 +218,15 @@ def _roundtrip_staggered(key, ck: CommitmentKey, x, params: Params):
     chain's MXU-heavy phase (commit / verify matvecs) against the other's
     VPU-heavy phase (challenge sampling / response NTTs):
 
-        stage 1: A.commit
-        stage 2: A.challenge + A.opening-verify | B.commit
-        stage 3: A.response                     | B.challenge + B.op-verify
+        stage 1: A.commit + A.opening-verify
+        stage 2: A.challenge                    | B.commit + B.op-verify
+        stage 3: A.response                     | B.challenge
         stage 4: A.verify                       | B.response
         stage 5:                                  B.verify
+
+    The opening verify lives in the SAME stage as its commit: its A.r
+    matvec is CSE'd with the commit's own (the honest_r_bound dedupe), and
+    a barrier between them would resurrect the deleted matvec.
 
     Everything live crosses each barrier, so XLA cannot collapse the
     stagger by hoisting. Same per-proof semantics and key derivation as
@@ -230,39 +234,41 @@ def _roundtrip_staggered(key, ck: CommitmentKey, x, params: Params):
     measured on-chip before any default change (BENCHMARKS.md)."""
     from . import commit as commit_mod
 
-    b = x.shape[0]
-    if x.ndim < 3 or b % 2:
+    x = jnp.asarray(x)  # same normalization as chained_roundtrip
+    if x.ndim < 3 or x.shape[0] % 2:
         raise ValueError(
-            "staggered roundtrip needs a batched [B, l, N] input with even B"
+            "staggered roundtrip needs a batched [B, l, N] input with even "
+            "B (an unbatched call cannot be chained)"
         )
+    b = x.shape[0]
     xa, xb = x[: b // 2], x[b // 2 :]
     ka, kb = jax.random.split(key)
     k1a, k2a = jax.random.split(ka)
     k1b, k2b = jax.random.split(kb)
     barrier = jax.lax.optimization_barrier
 
-    # stage 1: A commit (MXU). Everything stage >= 2 needs rides the wall.
+    # stage 1: A commit + opening check (MXU; the check's matvec is CSE'd)
     rctx_a, pcom_a = prover_commit(k1a, ck, xa, params)
-    rctx_a, pcom_a, xb, k1b, k2a, k2b = barrier(
-        (rctx_a, pcom_a, xb, k1b, k2a, k2b)
-    )
-    # stage 2: A challenge + opening check (VPU) | B commit (MXU)
-    vctx_a, chal_a = generate_challenge(k2a, pcom_a, params)
     op_ok_a = commit_mod.verify(
         ck, pcom_a.c, rctx_a.opening, params, honest_r_bound=params.b
     )
-    rctx_b, pcom_b = prover_commit(k1b, ck, xb, params)
-    (vctx_a, chal_a, op_ok_a, rctx_a, rctx_b, pcom_b, k2b) = barrier(
-        (vctx_a, chal_a, op_ok_a, rctx_a, rctx_b, pcom_b, k2b)
+    rctx_a, pcom_a, op_ok_a, xb, k1b, k2a, k2b = barrier(
+        (rctx_a, pcom_a, op_ok_a, xb, k1b, k2a, k2b)
     )
-    # stage 3: A response (VPU) | B challenge + opening check
-    resp_a = create_response(rctx_a, chal_a, params)
-    vctx_b, chal_b = generate_challenge(k2b, pcom_b, params)
+    # stage 2: A challenge (VPU) | B commit + opening check (MXU)
+    vctx_a, chal_a = generate_challenge(k2a, pcom_a, params)
+    rctx_b, pcom_b = prover_commit(k1b, ck, xb, params)
     op_ok_b = commit_mod.verify(
         ck, pcom_b.c, rctx_b.opening, params, honest_r_bound=params.b
     )
-    (resp_a, vctx_a, vctx_b, chal_b, op_ok_b, rctx_b) = barrier(
-        (resp_a, vctx_a, vctx_b, chal_b, op_ok_b, rctx_b)
+    (vctx_a, chal_a, rctx_a, rctx_b, pcom_b, op_ok_b, k2b) = barrier(
+        (vctx_a, chal_a, rctx_a, rctx_b, pcom_b, op_ok_b, k2b)
+    )
+    # stage 3: A response (VPU) | B challenge
+    resp_a = create_response(rctx_a, chal_a, params)
+    vctx_b, chal_b = generate_challenge(k2b, pcom_b, params)
+    (resp_a, vctx_a, vctx_b, chal_b, rctx_b) = barrier(
+        (resp_a, vctx_a, vctx_b, chal_b, rctx_b)
     )
     # stage 4: A verify (MXU) | B response (VPU)
     ok_a = verify(ck, resp_a, vctx_a, params)

@@ -106,6 +106,19 @@ def main():
     f4 = jax.jit(lambda k: sum_mod.roundtrip(k, ck1024, gs4, xs4, params))
     measure("4_sum_VL8_N1024_batch32", f4, (kp,), 32)
 
+    # config 5: 64K proofs, host-sharded psum batch-verify. Runs BEFORE
+    # the fetch-forced pass: its internal timing must not execute in the
+    # possibly-degraded dispatch regime a D2H leaves behind (the ordering
+    # rule of utils/benchtime.py -- all timings first, all fetches last).
+    cfg5 = None
+    if not args.skip_config5:
+        from ringzk_tpu.parallel import multihost
+
+        out = multihost.batch_verify_run(
+            total_batch=65536, n_deg=512, iters=max(1, args.iters // 2)
+        )
+        cfg5 = {"config": "5_multihost_64k_N512", **out}
+
     # fetch-forced cross-check pass: LAST, in config order
     fetch_forced_pass(configs, args.iters)
     fp = engine_fingerprint()
@@ -113,16 +126,8 @@ def main():
         if i == 0:
             rec["engine"] = fp
         print(json.dumps(rec), flush=True)
-
-    # config 5: 64K proofs, host-sharded psum batch-verify (after the ff
-    # pass -- it uses its own runner/timing and fetches internally)
-    if not args.skip_config5:
-        from ringzk_tpu.parallel import multihost
-
-        out = multihost.batch_verify_run(
-            total_batch=65536, n_deg=512, iters=max(1, args.iters // 2)
-        )
-        print(json.dumps({"config": "5_multihost_64k_N512", **out}), flush=True)
+    if cfg5 is not None:
+        print(json.dumps(cfg5), flush=True)
 
 
 if __name__ == "__main__":
