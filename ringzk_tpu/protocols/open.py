@@ -189,8 +189,8 @@ def roundtrip(key, ck: CommitmentKey, x, params: Params, chains: int = 1):
 
     from . import commit as commit_mod
 
-    if chains == 2 and os.environ.get("RINGZK_STAGGER", "0") == "1":
-        return _roundtrip_staggered(key, ck, x, params)
+    if chains > 1 and os.environ.get("RINGZK_STAGGER", "0") == "1":
+        return _roundtrip_staggered(key, ck, x, params, chains)
     if chains > 1:
         return commit_mod.chained_roundtrip(
             lambda k, xc: roundtrip(k, ck, xc, params), key, (x,), chains, (3,)
@@ -207,76 +207,67 @@ def roundtrip(key, ck: CommitmentKey, x, params: Params, chains: int = 1):
     return ok, opening_ok
 
 
-def _roundtrip_staggered(key, ck: CommitmentKey, x, params: Params):
-    """chains=2 as an EXPLICIT five-stage software pipeline.
+def _roundtrip_staggered(key, ck: CommitmentKey, x, params: Params,
+                         chains: int = 2):
+    """``chains`` sub-chains as an EXPLICIT software pipeline.
 
-    The plain chained form hands XLA two independent subgraphs and trusts
-    its latency-hiding scheduler to overlap chain A's VPU phases with
-    chain B's MXU phases; the roofline says 86% of the MXU stays idle
-    anyway (BENCHMARKS.md "Analytic roofline"). This variant pins the
-    offset with `lax.optimization_barrier` walls so every stage pairs one
-    chain's MXU-heavy phase (commit / verify matvecs) against the other's
-    VPU-heavy phase (challenge sampling / response NTTs):
-
-        stage 1: A.commit + A.opening-verify
-        stage 2: A.challenge                    | B.commit + B.op-verify
-        stage 3: A.response                     | B.challenge
-        stage 4: A.verify                       | B.response
-        stage 5:                                  B.verify
-
-    The opening verify lives in the SAME stage as its commit: its A.r
-    matvec is CSE'd with the commit's own (the honest_r_bound dedupe), and
-    a barrier between them would resurrect the deleted matvec.
+    The plain chained form hands XLA independent subgraphs and trusts its
+    latency-hiding scheduler to overlap one chain's VPU phases with
+    another's MXU phases. This variant pins the offset with
+    `lax.optimization_barrier` walls: in stage t, chain c executes phase
+    t - c (commit+opening-verify, challenge, response, verify), so every
+    wall pairs MXU-heavy phases (commit / verify matvecs) of one chain
+    against VPU-heavy phases (challenge sampling / response NTTs) of its
+    neighbors. The opening verify lives in the SAME stage as its commit:
+    its A.r matvec is CSE'd with the commit's own (the honest_r_bound
+    dedupe), and a barrier between them would resurrect the deleted
+    matvec.
 
     Everything live crosses each barrier, so XLA cannot collapse the
     stagger by hoisting. Same per-proof semantics and key derivation as
-    chained_roundtrip(chains=2). Trace-time opt-in (RINGZK_STAGGER=1),
-    measured on-chip before any default change (BENCHMARKS.md)."""
+    chained_roundtrip (bit-identical, tested). Trace-time opt-in
+    (RINGZK_STAGGER=1); measured (BENCHMARKS.md round-5): at chains=2 the
+    pinned pipeline beats free scheduling (656.2k vs 628.7k same
+    session), but free chains=4 (689.5k) beats both -- the default stays
+    un-pinned."""
     from . import commit as commit_mod
 
     x = jnp.asarray(x)  # same normalization as chained_roundtrip
-    if x.ndim < 3 or x.shape[0] % 2:
+    if x.ndim < 3 or x.shape[0] % chains:
         raise ValueError(
-            "staggered roundtrip needs a batched [B, l, N] input with even "
-            "B (an unbatched call cannot be chained)"
+            f"staggered roundtrip needs a batched [B, l, N] input with B "
+            f"divisible by chains={chains} (an unbatched call cannot be "
+            "chained)"
         )
-    b = x.shape[0]
-    xa, xb = x[: b // 2], x[b // 2 :]
-    ka, kb = jax.random.split(key)
-    k1a, k2a = jax.random.split(ka)
-    k1b, k2b = jax.random.split(kb)
+    step = x.shape[0] // chains
+    xs = [x[c * step : (c + 1) * step] for c in range(chains)]
+    keys = [jax.random.split(ki) for ki in jax.random.split(key, chains)]
     barrier = jax.lax.optimization_barrier
 
-    # stage 1: A commit + opening check (MXU; the check's matvec is CSE'd)
-    rctx_a, pcom_a = prover_commit(k1a, ck, xa, params)
-    op_ok_a = commit_mod.verify(
-        ck, pcom_a.c, rctx_a.opening, params, honest_r_bound=params.b
+    rctx, pcom, op_ok, vctx, chal, resp, ok = (
+        [None] * chains for _ in range(7)
     )
-    rctx_a, pcom_a, op_ok_a, xb, k1b, k2a, k2b = barrier(
-        (rctx_a, pcom_a, op_ok_a, xb, k1b, k2a, k2b)
-    )
-    # stage 2: A challenge (VPU) | B commit + opening check (MXU)
-    vctx_a, chal_a = generate_challenge(k2a, pcom_a, params)
-    rctx_b, pcom_b = prover_commit(k1b, ck, xb, params)
-    op_ok_b = commit_mod.verify(
-        ck, pcom_b.c, rctx_b.opening, params, honest_r_bound=params.b
-    )
-    (vctx_a, chal_a, rctx_a, rctx_b, pcom_b, op_ok_b, k2b) = barrier(
-        (vctx_a, chal_a, rctx_a, rctx_b, pcom_b, op_ok_b, k2b)
-    )
-    # stage 3: A response (VPU) | B challenge
-    resp_a = create_response(rctx_a, chal_a, params)
-    vctx_b, chal_b = generate_challenge(k2b, pcom_b, params)
-    (resp_a, vctx_a, vctx_b, chal_b, rctx_b) = barrier(
-        (resp_a, vctx_a, vctx_b, chal_b, rctx_b)
-    )
-    # stage 4: A verify (MXU) | B response (VPU)
-    ok_a = verify(ck, resp_a, vctx_a, params)
-    resp_b = create_response(rctx_b, chal_b, params)
-    (ok_a, resp_b, vctx_b) = barrier((ok_a, resp_b, vctx_b))
-    # stage 5: B verify
-    ok_b = verify(ck, resp_b, vctx_b, params)
-    return (
-        jnp.concatenate([ok_a, ok_b]),
-        jnp.concatenate([op_ok_a, op_ok_b]),
-    )
+    for t in range(chains + 3):
+        for c in range(chains):
+            p = t - c
+            if p == 0:
+                rctx[c], pcom[c] = prover_commit(keys[c][0], ck, xs[c], params)
+                op_ok[c] = commit_mod.verify(
+                    ck, pcom[c].c, rctx[c].opening, params,
+                    honest_r_bound=params.b,
+                )
+            elif p == 1:
+                vctx[c], chal[c] = generate_challenge(
+                    keys[c][1], pcom[c], params
+                )
+            elif p == 2:
+                resp[c] = create_response(rctx[c], chal[c], params)
+            elif p == 3:
+                ok[c] = verify(ck, resp[c], vctx[c], params)
+        if t < chains + 2:
+            # the wall: every live value crosses it (None leaves are empty
+            # pytree nodes and pass through untouched)
+            (rctx, pcom, op_ok, vctx, chal, resp, ok, xs, keys) = barrier(
+                (rctx, pcom, op_ok, vctx, chal, resp, ok, xs, keys)
+            )
+    return jnp.concatenate(ok), jnp.concatenate(op_ok)

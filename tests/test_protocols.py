@@ -324,6 +324,12 @@ def test_roundtrip_staggered_matches_chained(ck):
         got = open_mod.roundtrip(kp, ck, x, PARAMS, chains=2)
     assert jnp.array_equal(got[0], want[0]) and jnp.array_equal(got[1], want[1])
     assert bool(jnp.all(got[0])) and bool(jnp.all(got[1]))
+    # generalized pipeline: chains=4 must also match the free-scheduled form
+    want4 = open_mod.roundtrip(kp, ck, x, PARAMS, chains=4)
+    with env_override("RINGZK_STAGGER", "1"):
+        got4 = open_mod.roundtrip(kp, ck, x, PARAMS, chains=4)
+    assert jnp.array_equal(got4[0], want4[0])
+    assert jnp.array_equal(got4[1], want4[1])
 
 
 def test_verify_honest_bound_hint_soundness(ck):
