@@ -630,7 +630,8 @@ class RingContext:
         """Exact negacyclic product of centered int32 polys [..., N] mod q."""
         return self.inv(self.dot_hat(self.fwd_const(a), self.fwd(b)))
 
-    def scalar_mul_add(self, d, m, t, num: int | None = None):
+    def scalar_mul_add(self, d, m, t, num: int | None = None,
+                       d_num: int | None = None):
         """Fused ``t + d * m`` mod q, centered int32.
 
         d: [..., N] scalar polynomial broadcast over the rows of
@@ -641,6 +642,13 @@ class RingContext:
         Garner, and the mod-q add never leave VMEM); falls back to the
         composed fwd_const/fwd/inv + add_centered chain elsewhere.
         ``num`` is the caller's exact CRT bound for d*m, as in polymul.
+        ``d_num`` (>= num) transforms d at a LARGER prime-subset size and
+        slices the first ``num`` planes for the product: per-prime
+        transforms are independent, so the result is bit-identical, but a
+        fused program whose other phase transforms the same d at d_num
+        primes now contains two syntactically equal ``fwd_const(d, d_num)``
+        subgraphs and XLA CSEs one away (the honest-bound-dedupe trick
+        applied to the challenge transform; see protocols.commit.shared_d_num).
 
         The single-kernel Pallas forms are opt-in and measured SLOWER than
         the composed chain on the target TPU: v1 (RINGZK_FUSED_SCALAR=1,
@@ -682,7 +690,8 @@ class RingContext:
             )
             out = fn(self, d, mf, tf, num, interpret=_pallas_interpret())
         else:
-            d_hat = self.fwd_const(d, num)
+            dn = num if d_num is None else max(d_num, num)
+            d_hat = self.fwd_const(d, dn)[:num]
             dm = self.inv(self.dot_hat(d_hat[..., None, :], self.fwd(mf, num)))
             out = zq.add_centered(self.qctx, tf, dm)
         return out.reshape(d.shape[:-1] + struct + (m.shape[-1],))

@@ -34,9 +34,15 @@ def _tile_for(n: int, rows: int) -> int:
     """Row-tile size bounded by a VMEM budget that scales inversely with N:
     the stage chain keeps O(1) [tile, N] u32 planes live per prime, and at
     TILE_B=256 the footprint is proven at N<=512; halve the tile per
-    doubling beyond that (N=1024 OOM'd the 16 MB scoped vmem otherwise)."""
-    budget = max(8, (TILE_B * 512) // max(n, 512))
-    return max(1, min(TILE_B, rows, budget))
+    doubling beyond that (N=1024 OOM'd the 16 MB scoped vmem otherwise).
+
+    RINGZK_NTT_TILE overrides the base tile (probe knob, same role as
+    RINGZK_MATVEC_TILE for the matvec kernel)."""
+    import os
+
+    base = int(os.environ.get("RINGZK_NTT_TILE", TILE_B))
+    budget = max(8, (base * 512) // max(n, 512))
+    return max(1, min(base, rows, budget))
 
 
 def _shoup_mul_inline(ctx: MontCtx, w, w_shoup, x):

@@ -78,6 +78,34 @@ def _use_mxu() -> bool:
     return os.environ.get("RINGZK_MXU", "1") == "1"
 
 
+def shared_d_num(ring: RingContext, params: Params, n_deg: int,
+                 num: int) -> Optional[int]:
+    """Prime-subset size for the challenge transform in create_response
+    (opt-in probe flag RINGZK_SHARED_DHAT=1; default off).
+
+    The idea: the response's d*r product needs only ``num`` CRT primes
+    (ternary d x [-b,b] r), but verify's ``t + c1*d`` transforms the SAME
+    d at the larger wire-bound subset. Transforming d at the verifier's
+    size here (and slicing -- bit-identical, see
+    RingContext.scalar_mul_add) makes the two fwd_const(d) subgraphs
+    syntactically equal, CSE-able in a fused roundtrip program -- the
+    honest-bound-dedupe trick applied to the challenge transform.
+
+    MEASURED AND REJECTED (round 5, same-session fresh-process A/B,
+    shipped defaults): open 674.8k vs 696.0-697.6k controls (-3%),
+    linear 192.5k vs 196.4k, sum 73.2k vs 74.8k. Unlike the dedupe
+    (which deleted an off-critical-path matvec), this trades work ON the
+    response's critical path: its 1-prime product now waits for the
+    2-prime transform, while the transform it hopes to delete sat in
+    verify where cross-chain overlap already hid it. Kept opt-in as the
+    record of the attempt (bit-identity tested,
+    tests/test_protocols.py::test_shared_dhat_bit_identity)."""
+    if os.environ.get("RINGZK_SHARED_DHAT", "0") == "0":
+        return None
+    num_d = ring.primes_needed(min(params.kappa, n_deg) * (ring.q // 2 + 1))
+    return num_d if num_d > num else None
+
+
 class CommitmentKey(NamedTuple):
     """a1: [..., n, k, N], a2: [..., l, k, N] int32; *_hat: NTT-domain
     uint32 caches with leading prime axis [P, ..., rows, k, N]; *_dig:

@@ -28,6 +28,7 @@ from .commit import (
     Opening,
     commit,
     matvec_key_siblings,
+    shared_d_num,
     verify_ok,
 )
 from .open import gaussian_bound, sample_y
@@ -139,9 +140,10 @@ def create_response(
     n_deg = ctx.y.shape[-1]
     ring = get_ring(n_deg, params.modulus)
     num = ring.primes_needed(min(params.kappa, n_deg) * params.b)
+    d_num = shared_d_num(ring, params, n_deg, num)
     return LinearProofResponse(
-        z=ring.scalar_mul_add(challenge.d, ctx.opening.r, ctx.y, num),
-        zp=ring.scalar_mul_add(challenge.d, ctx.opening_p.r, ctx.yp, num),
+        z=ring.scalar_mul_add(challenge.d, ctx.opening.r, ctx.y, num, d_num),
+        zp=ring.scalar_mul_add(challenge.d, ctx.opening_p.r, ctx.yp, num, d_num),
     )
 
 

@@ -32,6 +32,7 @@ from .commit import (
     Opening,
     commit,
     matvec_key,
+    shared_d_num,
     verify_ok,
 )
 
@@ -131,7 +132,8 @@ def create_response(
     # d*r has |integer coeffs| <= min(kappa, N) * b: a small-bound product,
     # so a CRT prime subset (usually a single prime) suffices exactly
     num = ring.primes_needed(min(params.kappa, n_deg) * params.b)
-    z = ring.scalar_mul_add(challenge.d, ctx.opening.r, ctx.y, num)
+    d_num = shared_d_num(ring, params, n_deg, num)
+    z = ring.scalar_mul_add(challenge.d, ctx.opening.r, ctx.y, num, d_num)
     return OpenProofResponse(z=z)
 
 

@@ -39,6 +39,7 @@ from .commit import (
     stack_siblings_ok,
     commit,
     matvec_key,
+    shared_d_num,
     verify_ok,
 )
 from .open import gaussian_bound, sample_y
@@ -180,10 +181,11 @@ def create_response(
     n_deg = ctx.yp.shape[-1]
     ring = get_ring(n_deg, params.modulus)
     num = ring.primes_needed(min(params.kappa, n_deg) * params.b)
+    d_num = shared_d_num(ring, params, n_deg, num)
     # d broadcasts over the V and k axes of rs: [..., V, k, N]
     return SumProofResponse(
-        zs=ring.scalar_mul_add(challenge.d, ctx.openings.r, ctx.ys, num),
-        zp=ring.scalar_mul_add(challenge.d, ctx.opening_p.r, ctx.yp, num),
+        zs=ring.scalar_mul_add(challenge.d, ctx.openings.r, ctx.ys, num, d_num),
+        zp=ring.scalar_mul_add(challenge.d, ctx.opening_p.r, ctx.yp, num, d_num),
     )
 
 

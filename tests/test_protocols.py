@@ -332,6 +332,39 @@ def test_roundtrip_staggered_matches_chained(ck):
     assert jnp.array_equal(got4[1], want4[1])
 
 
+def test_shared_dhat_bit_identity(ck):
+    """RINGZK_SHARED_DHAT=1 (challenge transformed at the verifier's
+    prime-subset size in create_response, sliced for the product) must be
+    bit-identical to the default: per-prime transforms are independent, so
+    extra planes never change the product planes. All three protocols."""
+    from conftest import env_override
+
+    kx, kg, kp = jax.random.split(jax.random.PRNGKey(91), 3)
+    x = rand_x(kx, (8,))
+    want = open_mod.roundtrip(kp, ck, x, PARAMS)
+    with env_override("RINGZK_SHARED_DHAT", "1"):
+        got = open_mod.roundtrip(kp, ck, x, PARAMS)
+    assert jnp.array_equal(got[0], want[0]) and jnp.array_equal(got[1], want[1])
+    assert bool(jnp.all(got[0])) and bool(jnp.all(got[1]))
+
+    g = rand_g(kg, (8,))
+    wl = linear.roundtrip(kp, ck, g, x, PARAMS)
+    with env_override("RINGZK_SHARED_DHAT", "1"):
+        gl = linear.roundtrip(kp, ck, g, x, PARAMS)
+    assert all(jnp.array_equal(a, b) for a, b in zip(gl, wl))
+    assert bool(jnp.all(gl[0]))
+
+    gs = jax.random.randint(kg, (8, 2, N), -PARAMS.q, PARAMS.q + 1, jnp.int32)
+    xs = jax.random.randint(
+        kx, (8, 2, PARAMS.l, N), -PARAMS.q, PARAMS.q + 1, jnp.int32
+    )
+    ws = sum_mod.roundtrip(kp, ck, gs, xs, PARAMS)
+    with env_override("RINGZK_SHARED_DHAT", "1"):
+        ss = sum_mod.roundtrip(kp, ck, gs, xs, PARAMS)
+    assert all(jnp.array_equal(a, b) for a, b in zip(ss, ws))
+    assert bool(jnp.all(ss[0]))
+
+
 def test_verify_honest_bound_hint_soundness(ck):
     """The honest_r_bound hint (the round-5 CSE lever) must not weaken
     verification: with the hint, a correct self-produced opening still
