@@ -92,16 +92,24 @@ def main():
         "one chain's MXU matvec phases with another's VPU transform phases "
         "across the protocol's sequential dependency walls. Same total "
         "work and per-proof semantics; each chain draws its own key. "
-        "Default 4 since round 5: with the honest-bound matvec dedupe "
-        "shortening each chain, the round-4 chains=2 saturation moved -- "
-        "the consecutive same-session scan measured 638.7/648.2/641.8k at "
-        "chains 2/4/8 (batch 8192) and 625.4/702.9/707.7k at batch 16384, "
-        "all fetch-forced-validated (BENCHMARKS.md round-5 headline). "
+        "Default 32 (open) / 12 (linear) / 12 (sum) since the round-5 "
+        "chain-scaling retune: at fixed ~4096/chain the headline climbs "
+        "monotonically to a knee at 32 chains (16384x4 697.6k -> 24576x6 "
+        "717.1k -> 32768x8 731.6k -> 49152x12 740.8k -> 65536x16 752.6k "
+        "-> 98304x24 758.8k -> 131072x32 762.6k; 196608x48 dips to "
+        "760.5k), every rung fetch-forced-validated in one session "
+        "(BENCHMARKS.md round-5 headline, r5_bench/campaign13-16). "
         "--chains 1 restores the single chain.",
     )
     args = ap.parse_args()
     if args.chains is None:
-        args.chains = 4  # round-5 measured optimum, all three protocols
+        # round-5 chain-scaling optimum per protocol (see --chains help)
+        args.chains = {"open": 32, "linear": 12, "sum": 12}[args.protocol]
+        if args.batch is not None:
+            args.chains = max(
+                c for c in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
+                if args.batch % c == 0 and c <= args.chains
+            )
 
     from ringzk_tpu import Params, keygen
     from ringzk_tpu.protocols import linear as linear_mod
@@ -119,14 +127,13 @@ def main():
             sys.exit(1)
     dtype = jnp.int64 if params.modulus >= 2**32 else jnp.int32
     n_deg = args.n
-    # per-protocol default batches: linear does ~2.5x and sum (VL=4) ~5x the
-    # open proof's work per item; smaller batches keep the dispatch trains
-    # comparable without exceeding the tunnel's compile payload. Doubled in
-    # round 5 with chains=4 (measured: open 702.9-707.3k at 16384/4 vs
-    # 648.2k at 8192/4 and 656.8k at 32768/4; linear 194.1k at 8192/4 vs
-    # 185.9k at 4096/2; sum 74.7k at 4096/4 vs 70.2k at 2048/2 -- every
-    # row fetch-forced-validated, BENCHMARKS.md)
-    b = args.batch or {"open": 16384, "linear": 8192, "sum": 4096}[args.protocol]
+    # per-protocol default batches: ~4096/chain at each protocol's default
+    # chain count (the round-5 chain-scaling optimum; see --chains help and
+    # BENCHMARKS.md "Round-5 headline"). Measured same-session: open
+    # 131072/32 762.6k vs 16384/4 697.6k; linear 49152/12 205.0k vs 8192/4
+    # 195.2k; sum 12288/12 75.3k vs 4096/4 74.5k -- every row
+    # fetch-forced-validated
+    b = args.batch or {"open": 131072, "linear": 49152, "sum": 12288}[args.protocol]
     kk, kx, kg, kp = jax.random.split(jax.random.PRNGKey(0), 4)
     ck = keygen(kk, params, n_deg)
 

@@ -179,13 +179,16 @@ def roundtrip(key, ck: CommitmentKey, x, params: Params, chains: int = 1):
     give XLA's scheduler cross-chain overlap across those walls -- a
     measured +7.9% at the round-4 headline config (557.96k vs 517.2k,
     chains=2, batch 8192). The saturation point is build-dependent: round
-    4 measured chains=4 == chains=2, but after round 5's honest-bound
-    matvec dedupe shortened each chain, the consecutive scan measured
-    638.7/648.2/641.8k at chains 2/4/8 (batch 8192) and 702.9-708.8k at
-    batch 16384 chains 4 -- the round-5 shipped default (BENCHMARKS.md
-    "Round-5 headline"). Identical per-proof semantics and work; the
-    random draws differ from the unchained call (each chain consumes its
-    own key split).
+    4 measured chains=4 == chains=2; after round 5's honest-bound matvec
+    dedupe shortened each chain, chains=4 at batch 16384 won (702.9-708.8k);
+    and the round-5 chain-scaling retune found that at a FIXED ~4096
+    proofs per chain the headline keeps climbing with chain count to a
+    knee at 32 chains -- 16384x4 697.6k, 24576x6 717.1k, 32768x8 731.6k,
+    49152x12 740.8k, 65536x16 752.6k, 98304x24 758.8k, 131072x32 762.6k,
+    196608x48 760.5k, one session, every rung fetch-forced-validated
+    (BENCHMARKS.md "Round-5 headline"; r5_bench/campaign13-16). Identical
+    per-proof semantics and work; the random draws differ from the
+    unchained call (each chain consumes its own key split).
     """
     import os
 

@@ -279,6 +279,13 @@ def test_roundtrip_chains(ck):
         lambda k, x: open_mod.roundtrip(k, ck, x, PARAMS, chains=2)
     )(kp, x)
     assert ok.shape == (8,) and bool(jnp.all(ok)) and bool(jnp.all(op_ok))
+    # deep chain counts (the shipped default moved to 12 chains in round
+    # 5's chain-scaling retune): still one verdict per proof, all passing
+    x24 = rand_x(kx, (24,))
+    ok12, op12 = jax.jit(
+        lambda k, x: open_mod.roundtrip(k, ck, x, PARAMS, chains=12)
+    )(kp, x24)
+    assert ok12.shape == (24,) and bool(jnp.all(ok12)) and bool(jnp.all(op12))
     with pytest.raises(ValueError, match="chains"):
         open_mod.roundtrip(kp, ck, rand_x(kx, (6,))[:5], PARAMS, chains=2)
 
