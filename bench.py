@@ -92,7 +92,7 @@ def main():
         "one chain's MXU matvec phases with another's VPU transform phases "
         "across the protocol's sequential dependency walls. Same total "
         "work and per-proof semantics; each chain draws its own key. "
-        "Default 32 (open) / 12 (linear) / 12 (sum) since the round-5 "
+        "Default 32 (open) / 12 (linear) / 24 (sum) since the round-5 "
         "chain-scaling retune: at fixed ~4096/chain the headline climbs "
         "monotonically to a knee at 32 chains (16384x4 697.6k -> 24576x6 "
         "717.1k -> 32768x8 731.6k -> 49152x12 740.8k -> 65536x16 752.6k "
@@ -104,7 +104,7 @@ def main():
     args = ap.parse_args()
     if args.chains is None:
         # round-5 chain-scaling optimum per protocol (see --chains help)
-        args.chains = {"open": 32, "linear": 12, "sum": 12}[args.protocol]
+        args.chains = {"open": 32, "linear": 12, "sum": 24}[args.protocol]
         if args.batch is not None:
             args.chains = max(
                 c for c in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
@@ -131,9 +131,9 @@ def main():
     # chain count (the round-5 chain-scaling optimum; see --chains help and
     # BENCHMARKS.md "Round-5 headline"). Measured same-session: open
     # 131072/32 762.6k vs 16384/4 697.6k; linear 49152/12 205.0k vs 8192/4
-    # 195.2k; sum 12288/12 75.3k vs 4096/4 74.5k -- every row
-    # fetch-forced-validated
-    b = args.batch or {"open": 131072, "linear": 49152, "sum": 12288}[args.protocol]
+    # 195.2k (98304/24 dips to 201.7k); sum 24576/24 76.6k over 12288/12
+    # 75.3k and 4096/4 74.5k -- every row fetch-forced-validated
+    b = args.batch or {"open": 131072, "linear": 49152, "sum": 24576}[args.protocol]
     kk, kx, kg, kp = jax.random.split(jax.random.PRNGKey(0), 4)
     ck = keygen(kk, params, n_deg)
 

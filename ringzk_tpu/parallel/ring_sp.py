@@ -180,8 +180,14 @@ class SpRing(RingContext):
         ys = fn(xhat, *self._w_tables[1][:num])
         return self._crt_to_centered([ys[i] for i in range(num)])
 
-    def scalar_mul_add(self, d, m, t, num: int = NUM_PRIMES):
-        """Composed chain only (the Pallas fused kernel is single-device)."""
+    def scalar_mul_add(self, d, m, t, num: int = NUM_PRIMES,
+                       d_num: int | None = None):
+        """Composed chain only (the Pallas fused kernel is single-device).
+
+        ``d_num`` (the RingContext CSE hint, see RingContext.scalar_mul_add)
+        is accepted for drop-in signature parity and ignored: the sharded
+        transforms here are built per call and the hint's opt-in flag is a
+        single-chip scheduling experiment (measured-and-rejected there)."""
         d = jnp.asarray(d, jnp.int32)
         m = jnp.asarray(m, jnp.int32)
         t = jnp.asarray(t, jnp.int32)
