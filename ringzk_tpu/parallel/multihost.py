@@ -76,6 +76,7 @@ def batch_verify_run(
     iters: int = 5,
     axis: str = "dp",
     mesh: Mesh | None = None,
+    chains: int | None = None,
 ) -> dict:
     """BASELINE config 5: ``total_batch`` opening proofs sharded over all
     hosts' devices, proven and verified in one pjit program with the psum
@@ -85,12 +86,29 @@ def batch_verify_run(
     Key material is derived from ``seed`` identically on every process
     (deterministic keygen); proof messages are sampled on-device under the
     dp sharding constraint, so no host feeds data.
+
+    ``chains`` applies the round-5 chain-scaling lever inside the sharded
+    program (independent sub-chains overlap across the 3-move phase
+    walls; see protocols.open.roundtrip). Default: the largest chain
+    count keeping >=4096 proofs per chain with every chain slice aligned
+    to the device shards (chain boundaries fall on whole-shard multiples,
+    so the reshape inserts no cross-device traffic). ``chains=1``
+    restores the previous single-chain program.
     """
     params = params or Params()
     mesh = mesh or global_mesh(axis)
     nd = mesh.devices.size
     if total_batch % nd:
         raise ValueError(f"batch {total_batch} not divisible by {nd} devices")
+    if chains is None:
+        chains = max(
+            (
+                c
+                for c in (1, 2, 4, 8, 16, 32)
+                if total_batch % (c * nd) == 0 and total_batch // c >= 4096
+            ),
+            default=1,
+        )
 
     kk, krun = jax.random.split(jax.random.PRNGKey(seed))
     ck = keygen(kk, params, n_deg)
@@ -105,7 +123,7 @@ def batch_verify_run(
             dtype=jnp.int32,
         )
         x = jax.lax.with_sharding_constraint(x, x_spec)
-        ok, op_ok = open_mod.roundtrip(kp, ck, x, params)
+        ok, op_ok = open_mod.roundtrip(kp, ck, x, params, chains=chains)
         return (jnp.all(ok & op_ok),)
 
     (all_ok,) = step(krun)
@@ -125,6 +143,7 @@ def batch_verify_run(
         "proofs_per_s": total_batch / dt,
         "seconds_per_batch": dt,
         "total_batch": total_batch,
+        "chains": chains,
         "n_deg": n_deg,
         "n_devices": nd,
         "n_processes": jax.process_count(),
